@@ -1,0 +1,430 @@
+"""Shared Vector/Matrix method implementations.
+
+The reference duplicates much of this surface between core/vector.py and
+core/matrix.py; here the dtype-resolution + expression-construction logic is
+shared, with the classes supplying shape/rank specifics.
+"""
+
+import numpy as np
+
+from ..exceptions import DimensionMismatch
+from .base import BaseExpression, BaseType
+from .dtypes import BOOL, lookup_dtype, unify
+from .operator.base import find_opclass
+from .operator.utils import get_typed_op
+from .scalar import Scalar, _as_scalar, _is_scalar_like
+from .utils import output_type
+
+
+def _scalar_dyn(value, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(value, Scalar):
+        return value._vals.astype(dtype.np_type)
+    if isinstance(value, jax.Array):
+        return value.astype(dtype.np_type)
+    return jnp.asarray(np.array(value, dtype.np_type))
+
+
+def _scalar_like_dtype(value, fallback=None):
+    """DataType of a scalar-like operand (python scalar, Scalar, jax array)."""
+    if isinstance(value, Scalar):
+        return value.dtype
+    if hasattr(value, "dtype"):
+        return lookup_dtype(value.dtype)
+    return lookup_dtype(type(value))
+
+
+class Collection(BaseType):
+    __slots__ = ()
+
+    # ------------------------------------------------------------------ #
+    def _ewise_operand(self, other, within):
+        """Normalize the other operand; returns (obj, b_bcast flag)."""
+        from .matrix import Matrix, TransposedMatrix
+        from .vector import Vector
+
+        ot = output_type(other)
+        if ot in (Matrix, TransposedMatrix, Vector):
+            if isinstance(other, (BaseExpression,)) or not isinstance(other, BaseType):
+                other = other._get_value() if hasattr(other, "_get_value") else other
+            return other, None
+        raise TypeError(
+            f"Bad type for argument `other` in {within}: {type(other).__name__}"
+        )
+
+    def _ewise_expr(self, other, op, variant, ldef=None, rdef=None, within="ewise"):
+        from . import execute
+        from .matrix import Matrix, TransposedMatrix
+        from .vector import Vector
+
+        if hasattr(other, "_get_value") and not isinstance(other, BaseType):
+            other = other._get_value()
+        a, b = self, other
+        a_bc = b_bc = False
+        at = bt = False
+        from .matrix import TransposedMatrix as _TM
+
+        if isinstance(a, _TM):
+            at, a = True, a._matrix
+        if isinstance(b, _TM):
+            bt, b = True, b._matrix
+        if not isinstance(b, BaseType) or b._is_scalar:
+            raise TypeError(
+                f"Bad type for argument `other` in {within}: {type(other).__name__}"
+            )
+        # matrix-vector broadcast (reference matrix.py:57-70, vector.py:42-58)
+        out_shape = None
+        out_cls = None
+        a_shape = other_shape = None
+        sa = a.shape if not at else (a.shape[1], a.shape[0])
+        sb = b.shape if not bt else (b.shape[1], b.shape[0])
+        if len(sa) == len(sb):
+            if sa != sb:
+                raise DimensionMismatch(
+                    f"Shapes do not match in {within}: {sa} != {sb}"
+                )
+            out_shape = sa
+            out_cls = Matrix if len(sa) == 2 else Vector
+        elif len(sa) == 2 and len(sb) == 1:
+            if sa[1] != sb[0]:
+                raise DimensionMismatch(
+                    f"Shapes not compatible for broadcast in {within}: {sa} vs {sb}"
+                )
+            b_bc = True
+            out_shape = sa
+            out_cls = Matrix
+        elif len(sa) == 1 and len(sb) == 2:
+            if sb[1] != sa[0]:
+                raise DimensionMismatch(
+                    f"Shapes not compatible for broadcast in {within}: {sa} vs {sb}"
+                )
+            a_bc = True
+            out_shape = sb
+            out_cls = Matrix
+        method = {"add": "ewise_add", "mult": "ewise_mult", "union": "ewise_union"}[variant]
+        typed = get_typed_op(op, a.dtype, b.dtype, kind="binary")
+        _, opclass = find_opclass(typed)
+        if opclass not in ("BinaryOp", "Monoid"):
+            raise TypeError(f"op for {method} must be a BinaryOp or Monoid; got {opclass}")
+        if variant == "add":
+            out_dt = typed.return_type
+            if typed.return_type != unify(a.dtype, b.dtype) and typed.type == a.dtype:
+                pass
+            # pass-through values keep op's return dtype unless op narrows;
+            # match reference: result dtype is op return type
+        out_dt = typed.return_type
+        if variant == "union":
+            ldt = (ldef.dtype if isinstance(ldef, Scalar)
+                   else lookup_dtype(type(ldef)))
+            rdt = (rdef.dtype if isinstance(rdef, Scalar)
+                   else lookup_dtype(type(rdef)))
+            ldyn = _scalar_dyn(ldef, typed.type)
+            rdyn = _scalar_dyn(rdef, typed.type2)
+            args = [a, b, ldyn, rdyn]
+            statics = ("union", a.dtype, b.dtype, at, bt, ldt, rdt, a_bc, b_bc)
+        else:
+            args = [a, b]
+            statics = (variant, a.dtype, b.dtype, at, bt, None, None, a_bc, b_bc)
+        return BaseExpression(method, typed, args, statics, execute.T_ewise,
+                              out_dt, out_shape, out_cls)
+
+    def ewise_add(self, other, op="plus"):
+        """Element-wise union: op applied on the intersection, pass-through on
+        the symmetric difference.  Reference matrix.py:1912 / vector.py:1012."""
+        return self._ewise_expr(other, op, "add", within="ewise_add")
+
+    def ewise_mult(self, other, op="times"):
+        """Element-wise intersection.  Reference matrix.py:1980 / vector.py:1077."""
+        return self._ewise_expr(other, op, "mult", within="ewise_mult")
+
+    def ewise_union(self, other, op, left_default, right_default):
+        """Element-wise union with defaults for missing values.
+        Reference matrix.py:2044 / vector.py:1141."""
+        return self._ewise_expr(other, op, "union", ldef=left_default,
+                                rdef=right_default, within="ewise_union")
+
+    # ------------------------------------------------------------------ #
+    def apply(self, op, right=None, *, left=None):
+        """Apply a unary op; or a binary op with a bound scalar; or an
+        IndexUnaryOp with a thunk.  Reference matrix.py:2294 / vector.py:1308."""
+        from . import execute
+        from .matrix import TransposedMatrix
+
+        tflag = False
+        src = self
+        if isinstance(self, TransposedMatrix):
+            tflag, src = True, self._matrix
+        out_cls = type(src) if not isinstance(self, TransposedMatrix) else type(src)
+        shape = self.shape
+        findop, opclass = find_opclass(op)
+        if opclass in ("IndexUnaryOp", "SelectOp"):
+            thunk = False if right is None else right
+            return self._apply_indexunary(findop, thunk)
+        if left is None and right is None:
+            typed = get_typed_op(op, src.dtype, kind="unary")
+            _, oc = find_opclass(typed)
+            if oc == "IndexUnaryOp" or oc == "SelectOp":
+                return self._apply_indexunary(typed, False)
+            if oc != "UnaryOp":
+                raise TypeError(
+                    f"apply without left/right requires a UnaryOp; got {oc}.  "
+                    "Binary ops need a `left=` or `right=` bound scalar."
+                )
+            statics = (src.dtype, tflag)
+            return BaseExpression("apply", typed, [src], statics,
+                                  execute.T_apply_unary, typed.return_type,
+                                  shape, out_cls)
+        if left is not None and right is not None:
+            raise TypeError("Cannot provide both `left` and `right`")
+        bound = left if left is not None else right
+        if isinstance(bound, BaseType) and not bound._is_scalar:
+            raise TypeError(
+                f"Bad type for keyword argument `{'left' if left is not None else 'right'}`: "
+                f"{type(bound).__name__}; expected a scalar"
+            )
+        bdt = _scalar_like_dtype(bound)
+        is_left = left is not None
+        if is_left:
+            typed = get_typed_op(op, bdt, src.dtype, is_left_scalar=True, kind="binary")
+        else:
+            typed = get_typed_op(op, src.dtype, bdt, is_right_scalar=True, kind="binary")
+        _, oc = find_opclass(typed)
+        if oc not in ("BinaryOp", "Monoid"):
+            raise TypeError(f"apply with left/right requires a BinaryOp; got {oc}")
+        bval = _scalar_dyn(bound, typed.type if is_left else typed.type2)
+        statics = (src.dtype, bdt, is_left, tflag)
+        return BaseExpression("apply", typed, [src, bval], statics,
+                              execute.T_apply_bound, typed.return_type, shape, out_cls)
+
+    def _apply_indexunary(self, op, thunk):
+        from . import execute
+        from .matrix import TransposedMatrix
+
+        tflag = False
+        src = self
+        if isinstance(self, TransposedMatrix):
+            tflag, src = True, self._matrix
+        if isinstance(thunk, BaseType) and not thunk._is_scalar:
+            raise TypeError(f"thunk must be a scalar; got {type(thunk).__name__}")
+        tdt = _scalar_like_dtype(thunk)
+        typed = get_typed_op(op, src.dtype, tdt, kind="indexunary")
+        tval = _scalar_dyn(thunk, tdt)
+        statics = (src.dtype, tdt, self.ndim == 2, tflag)
+        return BaseExpression("apply_indexunary", typed, [src, tval], statics,
+                              execute.T_apply_indexunary, typed.return_type,
+                              self.shape, type(src))
+
+    def select(self, op, thunk=None):
+        """Keep a structural subset.  Reference matrix.py:2452 / vector.py:1463."""
+        from . import execute
+        from .matrix import TransposedMatrix
+
+        if isinstance(op, (BaseExpression,)) or (
+            hasattr(op, "method_name") and not isinstance(op, str)
+            and find_opclass(op)[1] == "UnknownOpClass"
+        ):
+            # A.select(A < 5) rewriting (reference select/__init__.py:71)
+            from graphblas_tpu.select import _match_expr
+
+            target = self._matrix if isinstance(self, TransposedMatrix) else self
+            match = _match_expr(target, op if isinstance(op, BaseExpression)
+                                else op._to_expr() if hasattr(op, "_to_expr") else op)
+            if match is None:
+                raise TypeError(
+                    "Unable to interpret select expression; use a SelectOp, e.g. "
+                    "A.select('>', 5) or select.valuegt(A, 5)"
+                )
+            sel_op, sthunk = match
+            op, thunk = sel_op, sthunk
+        tflag = False
+        src = self
+        if isinstance(self, TransposedMatrix):
+            tflag, src = True, self._matrix
+        if thunk is None:
+            thunk = False
+        if isinstance(thunk, BaseType) and not thunk._is_scalar:
+            raise TypeError(f"thunk must be a scalar; got {type(thunk).__name__}")
+        tdt = _scalar_like_dtype(thunk)
+        typed = get_typed_op(op, src.dtype, tdt, kind="select")
+        _, oc = find_opclass(typed)
+        if oc not in ("SelectOp", "IndexUnaryOp"):
+            raise TypeError(f"select requires a SelectOp; got {oc}")
+        if typed.return_type != BOOL:
+            raise TypeError("select operator must return BOOL")
+        tval = _scalar_dyn(thunk, tdt)
+        statics = (src.dtype, tdt, self.ndim == 2, tflag)
+        return BaseExpression("select", typed, [src, tval], statics,
+                              execute.T_select, src.dtype, self.shape, type(src))
+
+    # ------------------------------------------------------------------ #
+    def isequal(self, other, *, check_dtype=False):
+        """Exact equality: same shape, same structure, same values.
+        Reference matrix.py:357 / vector.py (same semantics)."""
+        other = self._expect_type(other, type(self), within="isequal", argname="other")
+        if check_dtype and self.dtype != other.dtype:
+            return False
+        if self.shape != other.shape:
+            return False
+        a_vals, a_ok = self._host_arrays()
+        b_vals, b_ok = other._host_arrays()
+        if not np.array_equal(a_ok, b_ok):
+            return False
+        if check_dtype:
+            common = self.dtype
+        else:
+            common = unify(self.dtype, other.dtype)
+        if self.dtype._is_udt:
+            return bool(np.array_equal(a_vals[a_ok], b_vals[b_ok]))
+        av = a_vals.astype(common.np_type)[a_ok]
+        bv = b_vals.astype(common.np_type)[b_ok]
+        return bool(np.array_equal(av, bv))
+
+    def isclose(self, other, *, rel_tol=1e-7, abs_tol=0.0, check_dtype=False):
+        other = self._expect_type(other, type(self), within="isclose", argname="other")
+        if check_dtype and self.dtype != other.dtype:
+            return False
+        if self.shape != other.shape:
+            return False
+        a_vals, a_ok = self._host_arrays()
+        b_vals, b_ok = other._host_arrays()
+        if not np.array_equal(a_ok, b_ok):
+            return False
+        av = a_vals[a_ok]
+        bv = b_vals[b_ok]
+        return bool(np.all(np.isclose(av, bv, rtol=rel_tol, atol=abs_tol)))
+
+    # ------------------------------------------------------------------ #
+    def dup(self, dtype=None, *, clear=False, mask=None, name=None, **opts):
+        """Duplicate (optionally cast / masked / cleared).
+        Reference matrix.py:699 / vector.py."""
+        dt = self.dtype if dtype is None else lookup_dtype(dtype)
+        out = self._empty(dt, self.shape, name=name)
+        if clear:
+            return out
+        if mask is not None:
+            from .base import _check_mask
+
+            mask = _check_mask(mask, self)
+        from . import execute
+
+        expr = execute.make_identity_expr(self, dt)
+        execute.update_into(out, expr, mask=mask, accum=None, replace=False)
+        return out
+
+    def get(self, *index, default=None):
+        """Get a single element as a Python value (reference matrix.py:804)."""
+        if len(index) == 1 and isinstance(index[0], tuple):
+            index = index[0]
+        s = self[index if self.ndim == 2 else index[0]].new()
+        v = s.value
+        return default if v is None else v
+
+    def __getitem__(self, keys):
+        from .expr import AmbiguousAssignOrExtract, IndexerResolver
+
+        return AmbiguousAssignOrExtract(self, IndexerResolver(self, keys))
+
+    def __setitem__(self, keys, value):
+        from .expr import IndexerResolver
+
+        self._assign_at(IndexerResolver(self, keys), value, mask=None, accum=None,
+                        replace=False, is_submask=False)
+
+    def __delitem__(self, keys):
+        from .expr import IndexerResolver
+
+        self._delete_at(IndexerResolver(self, keys), mask=None)
+
+    def __contains__(self, index):
+        from .expr import IndexerResolver
+
+        resolver = IndexerResolver(self, index)
+        if not resolver.is_single_element:
+            raise TypeError(f"Invalid index to Matrix/Vector contains: {index!r}")
+        s = self[index if self.ndim == 2 else index[0]].new()
+        return not s._is_empty
+
+    # assign / delete implementations
+    def _assign_at(self, resolver, value, *, mask, accum, replace, is_submask):
+        from . import execute
+        from .expr import AmbiguousAssignOrExtract, InfixExprBase
+
+        import jax.numpy as jnp
+
+        if isinstance(value, InfixExprBase):
+            value = value.new()
+        if isinstance(value, AmbiguousAssignOrExtract):
+            value = value.new()
+        if isinstance(value, BaseExpression):
+            value = value.new()
+        axis_arrays = []
+        region_ndim = 0
+        for ix in resolver.indices:
+            if ix.is_scalar:
+                axis_arrays.append(jnp.asarray(np.array([ix.index], np.int64)))
+            else:
+                axis_arrays.append(jnp.asarray(ix.index))
+                region_ndim += 1
+        if isinstance(value, Scalar) or _is_scalar_like(value):
+            sval = _as_scalar(value)
+            execute.assign_update(
+                self, tuple(axis_arrays),
+                (sval._vals, sval._valid),
+                mask=mask, accum=accum, replace=replace, is_submask=is_submask,
+                value_is_scalar=True, scalar_dt=sval.dtype,
+            )
+            return
+        if not isinstance(value, BaseType):
+            if isinstance(value, (list, np.ndarray)):
+                arr = np.asarray(value)
+                from .vector import Vector
+                from .matrix import Matrix
+
+                if arr.ndim == 1:
+                    value = Vector.from_dense(arr)
+                else:
+                    value = Matrix.from_dense(arr)
+            else:
+                raise TypeError(f"Bad type for assignment value: {type(value)}")
+        # shape check: value must match the region
+        region_shape = resolver.out_shape
+        if value.ndim != len(region_shape):
+            raise TypeError(
+                f"Assignment value has wrong rank: {value.ndim} for region "
+                f"rank {len(region_shape)}"
+            )
+        if value.shape != region_shape:
+            raise DimensionMismatch(
+                f"Assignment value shape {value.shape} does not match region "
+                f"shape {region_shape}"
+            )
+        # expand a vector value assigned to a row/col of a matrix
+        if self.ndim == 2 and value.ndim == 1:
+            from .matrix import Matrix
+
+            scalar_axis = 0 if resolver.indices[0].is_scalar else 1
+            m = Matrix._from_store(
+                value.dtype,
+                value._vals[None, :] if scalar_axis == 0 else value._vals[:, None],
+                value._valid[None, :] if scalar_axis == 0 else value._valid[:, None],
+            )
+            value = m
+        elif self.ndim == 2 and value.ndim == 2:
+            pass
+        execute.assign_update(self, tuple(axis_arrays), value, mask=mask,
+                              accum=accum, replace=replace, is_submask=is_submask)
+
+    def _delete_at(self, resolver, mask=None):
+        from . import execute
+
+        import jax.numpy as jnp
+
+        axis_arrays = []
+        for ix in resolver.indices:
+            if ix.is_scalar:
+                axis_arrays.append(jnp.asarray(np.array([ix.index], np.int64)))
+            else:
+                axis_arrays.append(jnp.asarray(ix.index))
+        execute.delete_region(self, tuple(axis_arrays), mask=mask)

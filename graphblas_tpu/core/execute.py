@@ -1,0 +1,562 @@
+"""Execution funnel: fuse (expression, mask, accum, replace) into one jitted call.
+
+This is the TPU analog of the reference's `call()` FFI funnel
+(core/base.py:23-54) combined with `_update` descriptor selection
+(:318-494): every public operation arrives here as a BaseExpression plus
+output parameters; we build a pure function computing
+``write_back(C, T(expr), mask, accum, replace)`` and jit-compile it once per
+static configuration (method, typed ops, dtypes, mask kind, flags).
+Subsequent calls with the same configuration reuse the compiled kernel, so
+an algorithm's inner loop (e.g. BFS's masked vxm) runs entirely as cached
+fused XLA executables.
+
+Trace impls read ONLY static metadata from the expression object (op,
+statics, dtype) — dynamic arrays always flow through the `dyn` argument.
+This invariant is what makes the jit cache sound.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import exceptions as ex
+from .base import BaseExpression, BaseType
+from .dtypes import BOOL, INT64, lookup_dtype, unify
+from .engine import dense, store as st
+from .operator.utils import get_typed_op
+from .recorder import record
+
+_JIT_CACHE = {}
+
+
+def _blocking():
+    from . import _blocking as flag
+
+    return flag
+
+
+def _run(key, fn, *dyn):
+    jf = _JIT_CACHE.get(key)
+    if jf is None:
+        jf = jax.jit(fn)
+        _JIT_CACHE[key] = jf
+    out = jf(*dyn)
+    from . import _blocking as blocking_flag
+
+    if blocking_flag:
+        jax.block_until_ready(out)
+    return out
+
+
+def _mask_statics(mask):
+    if mask is None:
+        return None
+    return (mask.structure, mask.complement, mask.parent.dtype)
+
+
+def _mask_dyn(mask):
+    if mask is None:
+        return None
+    return (mask.parent._vals, mask.parent._valid)
+
+
+def _mask_arr(mask_statics, mask_dyn):
+    if mask_statics is None:
+        return None
+    structure, complement, m_dt = mask_statics
+    m_vals, m_valid = mask_dyn
+    return dense.mask_array(m_vals, m_valid, m_dt, structure, complement)
+
+
+# --------------------------------------------------------------------- #
+# public entry points
+def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None):
+    out_cls = expr.output_type
+    out = out_cls._empty(out_dtype, expr.shape, name=name)
+    if is_cscalar is not None and hasattr(out, "_is_cscalar"):
+        out._is_cscalar = bool(is_cscalar)
+    update_into(out, expr, mask=mask, accum=None, replace=False)
+    return out
+
+
+def update_into(target, expr, *, mask=None, accum=None, replace=False):
+    typed_accum = None
+    if accum is not None:
+        typed_accum = get_typed_op(accum, target.dtype, expr.dtype, kind="binary")
+    ms = _mask_statics(mask)
+    key = ("update", expr._key(), target.dtype, ms, typed_accum, bool(replace),
+           expr._shape, target.shape)
+    impl = expr._trace_impl
+    c_dt = target.dtype
+    z_dt = expr.dtype
+
+    def fn(c_store, mask_dyn, dyn):
+        z_vals, z_valid = impl(expr, dyn)
+        mask_arr = _mask_arr(ms, mask_dyn)
+        return dense.write_back(c_store[0], c_store[1], c_dt, z_vals, z_valid,
+                                z_dt, mask_arr, typed_accum, replace)
+
+    record(_record_line(target, expr, mask, accum, replace))
+    vals, valid = _run(key, fn, (target._vals, target._valid), _mask_dyn(mask),
+                       expr._dyn())
+    target._set_store(vals, valid)
+
+
+def compute_store(expr, out_dtype):
+    """Compute an expression's store without an output target (new() no-mask)."""
+    key = ("compute", expr._key(), out_dtype, expr._shape)
+    impl = expr._trace_impl
+    z_dt = expr.dtype
+
+    def fn(dyn):
+        z_vals, z_valid = impl(expr, dyn)
+        return st.cast_values(z_vals, z_dt, out_dtype), z_valid
+
+    record(_record_line(None, expr, None, None, False))
+    return _run(key, fn, expr._dyn())
+
+
+def _record_line(target, expr, mask, accum, replace):
+    tname = getattr(target, "name", None) or (type(target).__name__ if target is not None else "_")
+    opname = getattr(expr.op, "name", expr.op) if expr.op is not None else None
+    parts = [f"{expr.method_name}({tname}"]
+    if mask is not None:
+        parts.append(f"mask={mask!r}")
+    if accum is not None:
+        parts.append(f"accum={getattr(accum, 'name', accum)}")
+    if replace:
+        parts.append("replace=True")
+    if opname is not None:
+        parts.append(f"op={opname}")
+    for a in expr.args:
+        if isinstance(a, BaseType):
+            parts.append(getattr(a, "name", None) or type(a).__name__)
+    return ", ".join(parts) + ")"
+
+
+# --------------------------------------------------------------------- #
+# trace implementations.  statics conventions documented per impl.
+def _store_of(dyn_item):
+    return dyn_item
+
+
+def _maybe_T(store, flag):
+    if flag:
+        return dense.transpose(store[0], store[1])
+    return store
+
+
+def T_copy(expr, dyn):
+    # statics: (in_dtype, transpose_flag)
+    in_dt, tflag = expr._statics
+    vals, valid = _maybe_T(dyn[0], tflag)
+    return st.cast_values(vals, in_dt, expr.dtype), valid
+
+
+def T_ewise(expr, dyn):
+    # statics: (variant, a_dt, b_dt, at, bt, ldef_dt, rdef_dt, a_bcast, b_bcast)
+    variant, a_dt, b_dt, at, bt, ldef_dt, rdef_dt, a_bc, b_bc = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], at)
+    b_vals, b_valid = _maybe_T(dyn[1], bt)
+    if b_bc:
+        # vector operand broadcast along rows of the matrix operand
+        # (reference recipes _m_add_v/_m_mult_v, matrix.py:57-70)
+        m = a_valid.shape[0]
+        b_vals = jnp.broadcast_to(b_vals[None, :], (m,) + b_vals.shape)
+        b_valid = jnp.broadcast_to(b_valid[None, :], (m,) + b_valid.shape)
+    elif a_bc:
+        m = b_valid.shape[0]
+        a_vals = jnp.broadcast_to(a_vals[None, :], (m,) + a_vals.shape)
+        a_valid = jnp.broadcast_to(a_valid[None, :], (m,) + a_valid.shape)
+    pos = _pos_for(a_valid.shape)
+    if variant == "mult":
+        return dense.ewise_mult(a_vals, a_valid, b_vals, b_valid, expr.op,
+                                a_dt, b_dt, pos=pos)
+    if variant == "add":
+        return dense.ewise_add(a_vals, a_valid, b_vals, b_valid, expr.op,
+                               a_dt, b_dt, expr.dtype, pos=pos)
+    ldef = dyn[2]
+    rdef = dyn[3]
+    return dense.ewise_union(a_vals, a_valid, b_vals, b_valid, expr.op,
+                             a_dt, b_dt, ldef, rdef, pos=pos)
+
+
+def _pos_for(shape):
+    if len(shape) == 0:
+        z = jnp.zeros((), jnp.int64)
+        return {"i": z, "j": z}
+    i = jax.lax.broadcasted_iota(jnp.int64, shape, 0)
+    if len(shape) >= 2:
+        j = jax.lax.broadcasted_iota(jnp.int64, shape, 1)
+    else:
+        j = jnp.zeros(shape, jnp.int64)
+    return {"i": i, "j": j}
+
+
+def T_matmul(expr, dyn):
+    # statics: (kind, a_dt, b_dt, at, bt); kind in {mxm, mxv, vxm, inner}
+    kind, a_dt, b_dt, at, bt = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], at)
+    b_vals, b_valid = _maybe_T(dyn[1], bt)
+    if kind == "mxm":
+        return dense.semiring_matmul(a_vals, a_valid, b_vals, b_valid, expr.op,
+                                     a_dt, b_dt)
+    if kind == "mxv":
+        v, ok = dense.semiring_matmul(a_vals, a_valid, b_vals[:, None],
+                                      b_valid[:, None], expr.op, a_dt, b_dt)
+        return v[:, 0], ok[:, 0]
+    if kind == "vxm":
+        v, ok = dense.semiring_matmul(a_vals[None, :], a_valid[None, :],
+                                      b_vals, b_valid, expr.op, a_dt, b_dt)
+        return v[0], ok[0]
+    # inner: (1,k) @ (k,1) -> scalar
+    v, ok = dense.semiring_matmul(a_vals[None, :], a_valid[None, :],
+                                  b_vals[:, None], b_valid[:, None], expr.op,
+                                  a_dt, b_dt)
+    return v[0, 0], ok[0, 0]
+
+
+def T_outer(expr, dyn):
+    # statics: (a_dt, b_dt); op typed BinaryOp; v.outer(w) -> Matrix
+    a_dt, b_dt = expr._statics
+    a_vals, a_valid = dyn[0]
+    b_vals, b_valid = dyn[1]
+    m = a_valid.shape[0]
+    n = b_valid.shape[0]
+    shape = (m, n)
+    pos = _pos_for(shape)
+    av = jnp.broadcast_to(a_vals[:, None], shape) if not isinstance(a_vals, dict) else a_vals
+    bv = jnp.broadcast_to(b_vals[None, :], shape) if not isinstance(b_vals, dict) else b_vals
+    vals = dense.apply_binop(expr.op, av, a_dt, bv, b_dt, pos=pos)
+    valid = a_valid[:, None] & b_valid[None, :]
+    return vals, valid
+
+
+class _ShimExpr:
+    """Static-only stand-in so trace impls can be reused compositionally."""
+
+    __slots__ = ("method_name", "op", "_statics", "dtype", "_shape", "args")
+
+    def __init__(self, method_name, op, statics, dtype, shape):
+        self.method_name = method_name
+        self.op = op
+        self._statics = statics
+        self.dtype = dtype
+        self._shape = shape
+        self.args = []
+
+
+def T_extract_input_mask(expr, dyn):
+    # statics: (inner_statics, mask_statics); input_mask filters the parent
+    # collection before extraction (reference core/expr.py:333-377)
+    inner_statics, ms = expr._statics
+    parent_store = dyn[0]
+    mask_dyn = dyn[1]
+    rest = dyn[2:]
+    arr = _mask_arr(ms, mask_dyn)
+    vals, valid = parent_store
+    shim = _ShimExpr("extract", expr.op, inner_statics, expr.dtype, expr._shape)
+    if isinstance(inner_statics[1], str):
+        return T_extract(shim, ((vals, valid & arr),) + rest)
+    # extract_element statics: (dt, ndim, tflag)
+    shim.method_name = "extract_element"
+    return T_extract_element(shim, ((vals, valid & arr),) + rest)
+
+
+def apply_input_mask(expr, parent, input_mask, indices):
+    """Wrap an extract expression with an input mask on the parent."""
+    if input_mask.parent.shape != parent.shape:
+        raise ex.DimensionMismatch(
+            f"input_mask shape {input_mask.parent.shape} does not match "
+            f"collection shape {parent.shape}"
+        )
+    ms = _mask_statics(input_mask)
+    args = [expr.args[0], input_mask.parent, *expr.args[1:]]
+    return BaseExpression(
+        "extract_input_mask",
+        expr.op,
+        args,
+        (expr._statics, ms),
+        T_extract_input_mask,
+        expr.dtype,
+        expr._shape,
+        expr.output_type,
+    )
+
+
+def T_kron(expr, dyn):
+    # statics: (a_dt, b_dt, at, bt)
+    a_dt, b_dt, at, bt = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], at)
+    b_vals, b_valid = _maybe_T(dyn[1], bt)
+    return dense.kron(a_vals, a_valid, b_vals, b_valid, expr.op, a_dt, b_dt)
+
+
+def T_apply_unary(expr, dyn):
+    # statics: (a_dt, tflag)
+    a_dt, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    pos = _pos_for(a_valid.shape)
+    return dense.apply_op(a_vals, a_valid, expr.op, a_dt, pos=pos)
+
+
+def T_apply_bound(expr, dyn):
+    # statics: (a_dt, s_dt, left_flag, tflag)
+    a_dt, s_dt, left, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    scalar_val = dyn[1]
+    pos = _pos_for(a_valid.shape)
+    return dense.apply_bound(a_vals, a_valid, expr.op, a_dt, scalar_val, s_dt,
+                             left, pos=pos)
+
+
+def T_apply_indexunary(expr, dyn):
+    # statics: (a_dt, thunk_dt, is_matrix, tflag)
+    a_dt, thunk_dt, is_matrix, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    thunk = dyn[1]
+    return dense.apply_indexunary(a_vals, a_valid, expr.op, a_dt, thunk,
+                                  thunk_dt, is_matrix)
+
+
+def T_select(expr, dyn):
+    # statics: (a_dt, thunk_dt, is_matrix, tflag)
+    a_dt, thunk_dt, is_matrix, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    thunk = dyn[1]
+    return dense.select_op(a_vals, a_valid, expr.op, a_dt, thunk, thunk_dt,
+                           is_matrix, expr.dtype)
+
+
+def T_reduce_axis(expr, dyn):
+    # statics: (a_dt, axis, tflag); op is a typed Monoid
+    a_dt, axis, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    return dense.reduce_monoid(a_vals, a_valid, expr.op, a_dt, axis)
+
+
+def T_reduce_scalar(expr, dyn):
+    # statics: (a_dt, allow_empty)
+    a_dt, allow_empty = expr._statics
+    a_vals, a_valid = dyn[0]
+    axis = tuple(range(a_valid.ndim))
+    vals, valid = dense.reduce_monoid(a_vals, a_valid, expr.op, a_dt, axis)
+    if not allow_empty:
+        ident = st.identity_value_array(expr.op, expr.op.type)
+        if ident is None:
+            ident = jnp.zeros((), expr.op.type.np_type)
+        vals = jnp.where(valid, vals, ident)
+        valid = jnp.ones((), bool)
+    return vals, valid
+
+
+def T_reduce_agg(expr, dyn):
+    # statics: (a_dt, axis_or_None_for_scalar, tflag); op is TypedAggregator
+    a_dt, axis, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    agg = expr.op
+    if axis is None:
+        axis = tuple(range(a_valid.ndim))
+    return dense.reduce_agg(a_vals, a_valid, agg.spec, a_dt, agg.return_type, axis)
+
+
+def T_extract(expr, dyn):
+    # statics: (a_dt, pattern, tflag)
+    # pattern: "mat" (rows+cols), "row" (i, cols), "col" (rows, j), "vec" (idx)
+    a_dt, pattern, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    if pattern == "vec":
+        idx = dyn[1]
+        return dense.extract_vector(a_vals, a_valid, idx)
+    if pattern == "mat":
+        rows, cols = dyn[1], dyn[2]
+        return dense.extract_matrix(a_vals, a_valid, rows, cols)
+    if pattern == "row":
+        i, cols = dyn[1], dyn[2]
+        v = jnp.take(a_vals, cols, axis=1)
+        ok = jnp.take(a_valid, cols, axis=1)
+        return jnp.take(v, i, axis=0)[0], jnp.take(ok, i, axis=0)[0]
+    # col
+    rows, j = dyn[1], dyn[2]
+    v = jnp.take(a_vals, rows, axis=0)
+    ok = jnp.take(a_valid, rows, axis=0)
+    return jnp.take(v, j, axis=1)[:, 0], jnp.take(ok, j, axis=1)[:, 0]
+
+
+def T_extract_element(expr, dyn):
+    # statics: (a_dt, ndim, tflag)
+    a_dt, ndim, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    if ndim == 2:
+        i, j = dyn[1], dyn[2]
+        return a_vals[i, j], a_valid[i, j]
+    i = dyn[1]
+    return a_vals[i], a_valid[i]
+
+
+def T_transpose(expr, dyn):
+    # statics: (a_dt,)
+    (a_dt,) = expr._statics
+    vals, valid = dense.transpose(dyn[0][0], dyn[0][1])
+    return st.cast_values(vals, a_dt, expr.dtype), valid
+
+
+def T_diag_extract(expr, dyn):
+    # statics: (a_dt, k, tflag)
+    a_dt, k, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    return dense.diag_extract(a_vals, a_valid, k)
+
+
+def T_diag_build(expr, dyn):
+    # statics: (v_dt, k, n)
+    v_dt, k, n = expr._statics
+    v_vals, v_valid = dyn[0]
+    return dense.diag_build(v_vals, v_valid, k, n)
+
+
+def T_reposition(expr, dyn):
+    # statics: (a_dt, offsets, tflag)
+    a_dt, offsets, tflag = expr._statics
+    a_vals, a_valid = _maybe_T(dyn[0], tflag)
+    return dense.reposition(a_vals, a_valid, offsets, expr._shape)
+
+
+def T_power(expr, dyn):
+    # statics: (a_dt, n); op = typed semiring
+    a_dt, n = expr._statics
+    a_vals, a_valid = dyn[0]
+    ring = expr.op
+    # exponentiation by repeated squaring (reference matrix.py:95-155)
+    result = None
+    base = (st.cast_values(a_vals, a_dt, expr.dtype), a_valid)
+    e = n
+    while e > 0:
+        if e & 1:
+            if result is None:
+                result = base
+            else:
+                result = dense.semiring_matmul(result[0], result[1], base[0],
+                                               base[1], ring, expr.dtype, expr.dtype)
+        e >>= 1
+        if e:
+            base = dense.semiring_matmul(base[0], base[1], base[0], base[1],
+                                         ring, expr.dtype, expr.dtype)
+    return result
+
+
+# --------------------------------------------------------------------- #
+def make_identity_expr(a, out_dtype):
+    from .matrix import TransposedMatrix
+
+    tflag = False
+    src = a
+    if isinstance(a, TransposedMatrix):
+        tflag = True
+        src = a._matrix
+    expr = BaseExpression(
+        "copy",
+        None,
+        [src],
+        (src.dtype, tflag),
+        T_copy,
+        out_dtype if out_dtype is not None else src.dtype,
+        a.shape,
+        a.output_type if hasattr(a, "output_type") else type(src),
+    )
+    return expr
+
+
+# --------------------------------------------------------------------- #
+# assign funnel (GrB_assign / GxB_subassign semantics)
+def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
+                  replace=False, is_submask=False, value_is_scalar=False,
+                  scalar_dt=None):
+    """axis_arrays: tuple of device int arrays (rows, cols) for Matrix,
+    (idx,) for Vector.  `value` is a collection of the region shape, or a
+    scalar () array when value_is_scalar."""
+    c_dt = target.dtype
+    typed_accum = None
+    v_dt = scalar_dt if value_is_scalar else value.dtype
+    if accum is not None:
+        typed_accum = get_typed_op(accum, c_dt, v_dt, kind="binary")
+    ms = _mask_statics(mask)
+    ndim = target.ndim
+    region_shape = tuple(int(a.shape[0]) for a in axis_arrays)
+    key = ("assign", ndim, c_dt, v_dt, ms, typed_accum, bool(replace),
+           bool(is_submask), bool(value_is_scalar), target.shape, region_shape)
+
+    if value_is_scalar:
+        val_dyn = value  # (val, present) () arrays
+    else:
+        val_dyn = (value._vals, value._valid)
+
+    def fn(c_store, mask_dyn, axes, vdyn):
+        c_vals, c_valid = c_store
+        if value_is_scalar:
+            sval, spresent = vdyn
+            z_vals = jnp.broadcast_to(jnp.asarray(sval), region_shape)
+            z_valid = jnp.broadcast_to(spresent, region_shape)
+        else:
+            z_vals, z_valid = vdyn
+        if ndim == 2:
+            rows, cols = axes
+            s_vals, s_valid, region = dense.scatter_matrix(
+                target.shape, rows, cols, st.cast_values(z_vals, v_dt, c_dt),
+                z_valid, c_dt)
+        else:
+            (idx,) = axes
+            s_vals, s_valid, region = dense.scatter_vector(
+                target.shape[0], idx, st.cast_values(z_vals, v_dt, c_dt),
+                z_valid, c_dt)
+        mask_arr = _mask_arr(ms, mask_dyn)
+        if is_submask:
+            # mask shaped like the region: scatter it into C-space
+            if mask_arr is not None:
+                if ndim == 2:
+                    sm = jnp.zeros(target.shape, bool)
+                    sm = sm.at[axes[0][:, None], axes[1][None, :]].set(mask_arr)
+                else:
+                    sm = jnp.zeros(target.shape, bool).at[axes[0]].set(mask_arr)
+            else:
+                sm = None
+            return dense.subassign(c_vals, c_valid, c_dt, s_vals, s_valid, c_dt,
+                                   region, sm, typed_accum, replace)
+        # C-space mask: first apply the region update, then mask the whole C
+        t_vals, t_valid = dense.subassign(c_vals, c_valid, c_dt, s_vals, s_valid,
+                                          c_dt, region, None, typed_accum, False)
+        if mask_arr is None and not replace:
+            return t_vals, t_valid
+        return dense.write_back(c_vals, c_valid, c_dt, t_vals, t_valid, c_dt,
+                                mask_arr if mask_arr is not None
+                                else jnp.ones(target.shape, bool),
+                                None, replace)
+
+    record(f"assign({target.name or type(target).__name__}, submask={is_submask})")
+    vals, valid = _run(key, fn, (target._vals, target._valid), _mask_dyn(mask),
+                       tuple(axis_arrays), val_dyn)
+    target._set_store(vals, valid)
+
+
+def delete_region(target, axis_arrays, *, mask=None):
+    """del C[i, j] and masked deletes (reference core/expr.py:449-463)."""
+    ms = _mask_statics(mask)
+    ndim = target.ndim
+    key = ("delete", ndim, target.dtype, ms, target.shape,
+           tuple(int(a.shape[0]) for a in axis_arrays))
+
+    def fn(c_store, mask_dyn, axes):
+        c_vals, c_valid = c_store
+        if ndim == 2:
+            region = jnp.zeros(target.shape, bool).at[
+                axes[0][:, None], axes[1][None, :]].set(True)
+        else:
+            region = jnp.zeros(target.shape, bool).at[axes[0]].set(True)
+        mask_arr = _mask_arr(ms, mask_dyn)
+        if mask_arr is not None:
+            region = region & mask_arr
+        return c_vals, c_valid & ~region
+
+    vals, valid = _run(key, fn, (target._vals, target._valid), _mask_dyn(mask),
+                       tuple(axis_arrays))
+    target._set_store(vals, valid)

@@ -1,0 +1,72 @@
+"""Execution Context (reference core/ss/context.py:19-146).
+
+The reference's Context controls SuiteSparse per-thread OpenMP execution
+(nthreads, chunk, gpu_id) with a thread-local engage/disengage stack.  On the
+TPU engine intra-op parallelism belongs to XLA, so Context keeps the same
+surface (context-manager, thread-local stack, nthreads/chunk attributes) and
+additionally carries the device to place computations on.
+"""
+
+import threading
+
+
+class ThreadLocal(threading.local):
+    def __init__(self):
+        self.stack = []
+
+
+_tls = ThreadLocal()
+
+
+class Context:
+    __slots__ = "nthreads", "chunk", "gpu_id", "device", "_engaged", "__weakref__"
+
+    def __init__(self, engage=True, *, nthreads=None, chunk=None, gpu_id=None,
+                 device=None, stack=True):
+        import os
+
+        self.nthreads = nthreads if nthreads is not None else (os.cpu_count() or 1)
+        self.chunk = chunk if chunk is not None else 65536
+        self.gpu_id = -1 if gpu_id is None else gpu_id
+        self.device = device
+        self._engaged = False
+        if engage:
+            self.engage()
+
+    def engage(self):
+        if not self._engaged:
+            _tls.stack.append(self)
+            self._engaged = True
+
+    def disengage(self):
+        if self._engaged:
+            try:
+                _tls.stack.remove(self)
+            except ValueError:
+                pass
+            self._engaged = False
+
+    def __enter__(self):
+        self.engage()
+        return self
+
+    def __exit__(self, *exc):
+        self.disengage()
+        return False
+
+    def __repr__(self):
+        return (f"Context(nthreads={self.nthreads}, chunk={self.chunk}, "
+                f"device={self.device})")
+
+    @property
+    def _carg(self):
+        return repr(self)
+
+
+def current_context():
+    if _tls.stack:
+        return _tls.stack[-1]
+    return global_context
+
+
+global_context = Context(engage=False)

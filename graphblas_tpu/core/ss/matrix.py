@@ -1,0 +1,503 @@
+"""Matrix.ss: storage-format control and data-plane utilities.
+
+Parity target: reference core/ss/matrix.py (SURVEY §2 row 15): import/export
+for the 10 storage formats (Appendix C field schemas), split/concat tiling,
+selectk/compactify/sort, scan, flatten/reshape, serialize/deserialize,
+iterators, build_diag/build_scalar, per-object config.
+"""
+
+import pickle
+import zlib
+
+import numpy as np
+
+from ...exceptions import InvalidValue
+from ..dtypes import lookup_dtype
+from ..utils import normalize_chunks
+
+
+class MatrixConfig(dict):
+    """Per-matrix config mapping (reference core/ss/matrix.py:124-180)."""
+
+    _defaults = {
+        "format": "bitmapr",
+        "sparsity_control": "auto",
+        "sparsity_status": "bitmap",
+        "hyper_switch": 0.0625,
+        "bitmap_switch": 0.04,
+    }
+
+    def __init__(self):
+        super().__init__(self._defaults)
+
+
+class MatrixSS:
+    __slots__ = "_parent", "config", "__weakref__"
+
+    def __init__(self, parent):
+        self._parent = parent
+        self.config = MatrixConfig()
+
+    # ------------------------------------------------------------------ #
+    @property
+    def format(self):
+        return "bitmapr"
+
+    @property
+    def orientation(self):
+        return "rowwise"
+
+    @property
+    def nbytes(self):
+        p = self._parent
+        return p.nrows * p.ncols * (p.dtype.np_type.itemsize + 1)
+
+    @property
+    def is_iso(self):
+        vals, ok = self._parent._host_arrays()
+        pres = vals[ok]
+        if len(pres) == 0:
+            return False
+        return bool((pres == pres.flat[0]).all())
+
+    @property
+    def iso_value(self):
+        from ..scalar import Scalar
+
+        vals, ok = self._parent._host_arrays()
+        pres = vals[ok]
+        if len(pres) == 0 or not (pres == pres.flat[0]).all():
+            raise ValueError("Matrix is not iso-valued")
+        return Scalar.from_value(pres.flat[0], self._parent.dtype)
+
+    # ------------------------------------------------------------------ #
+    def export(self, format=None, *, sort=True, give_ownership=False, raw=False):
+        """Export as plain dicts of numpy arrays (Appendix C schemas)."""
+        p = self._parent
+        if format is None or format in ("rowwise",):
+            format = "csr"
+        elif format == "columnwise":
+            format = "csc"
+        format = format.lower()
+        vals, ok = p._host_arrays()
+        if format == "csr":
+            indptr, cols, v = p.to_csr()
+            rv = {
+                "indptr": indptr, "col_indices": cols, "values": v,
+                "sorted_cols": True, "nrows": p.nrows, "ncols": p.ncols,
+                "is_iso": False, "format": "csr",
+            }
+        elif format == "csc":
+            indptr, rows, v = p.to_csc()
+            rv = {
+                "indptr": indptr, "row_indices": rows, "values": v,
+                "sorted_rows": True, "nrows": p.nrows, "ncols": p.ncols,
+                "is_iso": False, "format": "csc",
+            }
+        elif format == "hypercsr":
+            rows, indptr, cols, v = p.to_dcsr()
+            rv = {
+                "rows": rows, "indptr": indptr, "col_indices": cols, "values": v,
+                "sorted_cols": True, "nrows": p.nrows, "ncols": p.ncols,
+                "is_iso": False, "format": "hypercsr",
+            }
+        elif format == "hypercsc":
+            cols, indptr, rows, v = p.to_dcsc()
+            rv = {
+                "cols": cols, "indptr": indptr, "row_indices": rows, "values": v,
+                "sorted_rows": True, "nrows": p.nrows, "ncols": p.ncols,
+                "is_iso": False, "format": "hypercsc",
+            }
+        elif format in ("bitmapr", "bitmapc"):
+            order = "C" if format == "bitmapr" else "F"
+            rv = {
+                "bitmap": np.array(ok, order=order),
+                "values": np.array(vals, order=order),
+                "nvals": int(ok.sum()), "nrows": p.nrows, "ncols": p.ncols,
+                "is_iso": False, "format": format,
+            }
+        elif format in ("fullr", "fullc"):
+            if not ok.all():
+                raise InvalidValue(f"Matrix is not full; cannot export as {format}")
+            order = "C" if format == "fullr" else "F"
+            rv = {"values": np.array(vals, order=order), "nrows": p.nrows,
+                  "ncols": p.ncols, "is_iso": False, "format": format}
+        elif format in ("coor", "cooc", "coo"):
+            r, c, v = p.to_coo()
+            rv = {"rows": r, "cols": c, "values": v, "nrows": p.nrows,
+                  "ncols": p.ncols, "sorted_rows": True, "sorted_cols": format == "cooc",
+                  "is_iso": False, "format": format}
+        else:
+            raise ValueError(f"Invalid format: {format}")
+        if give_ownership:
+            p.clear()
+        return rv
+
+    unpack = export
+
+    @classmethod
+    def import_any(cls, **kwargs):
+        from ..matrix import Matrix
+
+        fmt = kwargs.get("format")
+        if fmt is None:
+            if "indptr" in kwargs:
+                if "rows" in kwargs:
+                    fmt = "hypercsr"
+                elif "cols" in kwargs:
+                    fmt = "hypercsc"
+                elif "col_indices" in kwargs:
+                    fmt = "csr"
+                else:
+                    fmt = "csc"
+            elif "bitmap" in kwargs:
+                fmt = "bitmapr"
+            elif "rows" in kwargs or "cols" in kwargs:
+                fmt = "coor"
+            else:
+                fmt = "fullr"
+        fmt = fmt.lower()
+        nrows = kwargs.get("nrows")
+        ncols = kwargs.get("ncols")
+        values = kwargs.get("values")
+        dtype = kwargs.get("dtype")
+        if fmt == "csr":
+            return Matrix.from_csr(kwargs["indptr"], kwargs["col_indices"], values,
+                                   dtype, nrows=nrows, ncols=ncols)
+        if fmt == "csc":
+            return Matrix.from_csc(kwargs["indptr"], kwargs["row_indices"], values,
+                                   dtype, nrows=nrows, ncols=ncols)
+        if fmt == "hypercsr":
+            return Matrix.from_dcsr(kwargs["rows"], kwargs["indptr"],
+                                    kwargs["col_indices"], values, dtype,
+                                    nrows=nrows, ncols=ncols)
+        if fmt == "hypercsc":
+            return Matrix.from_dcsc(kwargs["cols"], kwargs["indptr"],
+                                    kwargs["row_indices"], values, dtype,
+                                    nrows=nrows, ncols=ncols)
+        if fmt in ("bitmapr", "bitmapc"):
+            import jax.numpy as jnp
+
+            from ..engine import store as st
+
+            bitmap = np.asarray(kwargs["bitmap"], bool)
+            vals = np.asarray(values)
+            if bitmap.ndim == 1:
+                bitmap = bitmap.reshape(nrows, ncols)
+                vals = vals.reshape(nrows, ncols)
+            dt = lookup_dtype(dtype) if dtype is not None else lookup_dtype(vals.dtype)
+            m = Matrix(dt, bitmap.shape[0], bitmap.shape[1])
+            m._set_store(st.np_values_to_device(vals.astype(dt.np_type), dt),
+                         jnp.asarray(bitmap))
+            return m
+        if fmt in ("fullr", "fullc"):
+            return Matrix.from_dense(np.asarray(values), dtype=dtype)
+        if fmt in ("coor", "cooc", "coo"):
+            return Matrix.from_coo(np.asarray(kwargs["rows"], np.int64),
+                                   np.asarray(kwargs["cols"], np.int64), values,
+                                   dtype, nrows=nrows, ncols=ncols)
+        raise ValueError(f"Invalid format: {fmt}")
+
+    import_csr = import_csc = import_bitmapr = import_fullr = import_any
+    pack_any = import_any
+
+    # ------------------------------------------------------------------ #
+    def split(self, chunks, *, name=None):
+        """Split into a 2-D list of tiles (reference core/ss/matrix.py:281)."""
+        from ..matrix import Matrix
+
+        p = self._parent
+        chunkspec = normalize_chunks(chunks, p.shape)
+        row_sizes, col_sizes = chunkspec
+        tiles = []
+        r0 = 0
+        for rs in row_sizes:
+            row_tiles = []
+            c0 = 0
+            for cs in col_sizes:
+                vals = p._vals[r0:r0 + rs, c0:c0 + cs]
+                ok = p._valid[r0:r0 + rs, c0:c0 + cs]
+                row_tiles.append(Matrix._from_store(p.dtype, vals, ok))
+                c0 += cs
+            tiles.append(row_tiles)
+            r0 += rs
+        return tiles
+
+    def build_diag(self, vector, k=0):
+        """Reference core/ss/matrix.py:252."""
+        p = self._parent
+        d = vector.diag(k)
+        p._set_store(d._vals, d._valid)
+        p._nrows, p._ncols = d.shape
+
+    def build_scalar(self, rows, columns, value):
+        """Iso build (reference core/ss/matrix.py:383)."""
+        rows = np.asarray(rows, np.int64)
+        self._parent.build(rows, np.asarray(columns, np.int64),
+                           np.broadcast_to(np.asarray(value), rows.shape))
+
+    # ------------------------------------------------------------------ #
+    def iterkeys(self, seek=0):
+        r, c, _ = self._parent.to_coo()
+        for i in range(seek, len(r)):
+            yield (int(r[i]), int(c[i]))
+
+    def itervalues(self, seek=0):
+        _, _, v = self._parent.to_coo()
+        for i in range(seek, len(v)):
+            yield v[i]
+
+    def iteritems(self, seek=0):
+        r, c, v = self._parent.to_coo()
+        for i in range(seek, len(r)):
+            yield ((int(r[i]), int(c[i])), v[i])
+
+    def head(self, n=10, dtype=None, *, sort=False):
+        r, c, v = self._parent.to_coo(dtype)
+        return r[:n], c[:n], v[:n]
+
+    # ------------------------------------------------------------------ #
+    def flatten(self, order="rowwise", *, name=None):
+        """Reference core/ss/matrix.py:3717."""
+        from ..vector import Vector
+
+        p = self._parent
+        vals, ok = p._vals, p._valid
+        if order in ("columnwise", "F", "col"):
+            vals = vals.T
+            ok = ok.T
+        return Vector._from_store(p.dtype, vals.reshape(-1), ok.reshape(-1),
+                                  name=name)
+
+    def reshape(self, nrows, ncols=None, order="rowwise", *, name=None):
+        """Reference core/ss/matrix.py:3742."""
+        from ..matrix import Matrix
+
+        p = self._parent
+        if ncols is None:
+            if isinstance(nrows, tuple):
+                nrows, ncols = nrows
+            else:
+                ncols = p.nrows * p.ncols // nrows
+        nrows, ncols = int(nrows), int(ncols)
+        if nrows * ncols != p.nrows * p.ncols:
+            raise ValueError(
+                f"Cannot reshape {p.shape} into ({nrows}, {ncols}): "
+                "total number of elements must be unchanged"
+            )
+        vals, ok = p._vals, p._valid
+        if order in ("columnwise", "F", "col"):
+            vals = vals.T.reshape(ncols, nrows).T
+            ok = ok.T.reshape(ncols, nrows).T
+        else:
+            vals = vals.reshape(nrows, ncols)
+            ok = ok.reshape(nrows, ncols)
+        return Matrix._from_store(p.dtype, vals, ok, name=name)
+
+    # ------------------------------------------------------------------ #
+    def selectk(self, how, k, *, name=None):
+        """Select k elements per row (reference core/ss/matrix.py:3815).
+        how: first/last/smallest/largest/random."""
+        from ..matrix import Matrix
+
+        p = self._parent
+        vals, ok = p._host_arrays()
+        out_ok = np.zeros_like(ok)
+        rng = np.random.default_rng()
+        for i in range(p.nrows):
+            cols = np.nonzero(ok[i])[0]
+            if len(cols) == 0:
+                continue
+            if how == "first":
+                chosen = cols[:k]
+            elif how == "last":
+                chosen = cols[-k:]
+            elif how == "smallest":
+                chosen = cols[np.argsort(vals[i, cols], kind="stable")[:k]]
+            elif how == "largest":
+                chosen = cols[np.argsort(vals[i, cols], kind="stable")[::-1][:k]]
+            elif how == "random":
+                chosen = rng.choice(cols, size=min(k, len(cols)), replace=False)
+            else:
+                raise ValueError(f"Invalid how: {how}")
+            out_ok[i, chosen] = True
+        import jax.numpy as jnp
+
+        return Matrix._from_store(p.dtype, jnp.asarray(vals), jnp.asarray(out_ok),
+                                  name=name)
+
+    def compactify(self, how="first", ncols=None, *, name=None):
+        """Pack stored values left per row (reference core/ss/matrix.py:3877)."""
+        from ..matrix import Matrix
+
+        p = self._parent
+        vals, ok = p._host_arrays()
+        counts = ok.sum(axis=1)
+        width = int(counts.max()) if ncols is None else int(ncols)
+        out_vals = np.zeros((p.nrows, width), p.dtype.np_type)
+        out_ok = np.zeros((p.nrows, width), bool)
+        reverse = how in ("last", "largest")
+        for i in range(p.nrows):
+            cols = np.nonzero(ok[i])[0]
+            vv = vals[i, cols]
+            if how in ("smallest", "largest"):
+                order = np.argsort(vv, kind="stable")
+                if how == "largest":
+                    order = order[::-1]
+                vv = vv[order]
+            elif how == "last":
+                vv = vv[::-1]
+            elif how == "random":
+                vv = np.random.default_rng().permutation(vv)
+            n = min(len(vv), width)
+            out_vals[i, :n] = vv[:n]
+            out_ok[i, :n] = True
+        import jax.numpy as jnp
+
+        return Matrix._from_store(p.dtype, jnp.asarray(out_vals),
+                                  jnp.asarray(out_ok), name=name)
+
+    def sort(self, op="<", values=True, permutation=True, *, rowwise=True,
+             nthreads=None):
+        """Sort values within each row (reference core/ss/matrix.py:3991)."""
+        from ..matrix import Matrix
+        from ..operator.utils import binary_from_string
+        from ..operator.base import OpBase
+
+        if isinstance(op, str):
+            op = binary_from_string(op)
+        opname = op.name if hasattr(op, "name") else "lt"
+        descending = opname in ("gt", ">")
+        p = self._parent
+        vals, ok = p._host_arrays()
+        counts = ok.sum(axis=1 if rowwise else 0)
+        P_vals = np.zeros_like(vals)
+        P_ok = np.zeros_like(ok)
+        C_vals = np.zeros_like(vals)
+        C_ok = np.zeros_like(ok)
+        it = range(p.nrows) if rowwise else range(p.ncols)
+        for i in it:
+            line_ok = ok[i] if rowwise else ok[:, i]
+            idx = np.nonzero(line_ok)[0]
+            if len(idx) == 0:
+                continue
+            vv = (vals[i, idx] if rowwise else vals[idx, i])
+            order = np.argsort(vv, kind="stable")
+            if descending:
+                order = order[::-1]
+            n = len(idx)
+            if rowwise:
+                C_vals[i, :n] = vv[order]
+                C_ok[i, :n] = True
+                P_vals[i, :n] = idx[order]
+                P_ok[i, :n] = True
+            else:
+                C_vals[:n, i] = vv[order]
+                C_ok[:n, i] = True
+                P_vals[:n, i] = idx[order]
+                P_ok[:n, i] = True
+        import jax.numpy as jnp
+
+        outs = []
+        if values:
+            outs.append(Matrix._from_store(p.dtype, jnp.asarray(C_vals),
+                                           jnp.asarray(C_ok)))
+        if permutation:
+            outs.append(Matrix._from_store(lookup_dtype(np.int64),
+                                           jnp.asarray(P_vals.astype(np.int64)),
+                                           jnp.asarray(P_ok)))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(outs)
+
+    # ------------------------------------------------------------------ #
+    def serialize(self, compression="default", level=None, *, nthreads=None):
+        """Serialize to a bytes blob (reference core/ss/matrix.py:4057).
+        Compression via zlib (lz4/zstd unavailable -> mapped to zlib levels)."""
+        p = self._parent
+        r, c, v = p.to_coo()
+        payload = pickle.dumps(
+            {
+                "dtype": p.dtype.name if not p.dtype._is_udt else p.dtype.np_type.str,
+                "nrows": p.nrows,
+                "ncols": p.ncols,
+                "rows": r,
+                "cols": c,
+                "values": v,
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        if compression in (None, "none"):
+            blob = b"GBTPU0\x00" + payload
+        else:
+            lvl = 6 if level is None else int(level)
+            blob = b"GBTPU0\x01" + zlib.compress(payload, lvl)
+        return np.frombuffer(blob, dtype=np.uint8)
+
+    @staticmethod
+    def deserialize(data, dtype=None, *, nthreads=None):
+        from ..matrix import Matrix
+
+        blob = bytes(np.asarray(data, np.uint8))
+        if not blob.startswith(b"GBTPU0"):
+            raise InvalidValue("Invalid serialized blob")
+        mode = blob[6]
+        payload = blob[7:]
+        if mode == 1:
+            payload = zlib.decompress(payload)
+        d = pickle.loads(payload)
+        return Matrix.from_coo(
+            d["rows"].astype(np.int64), d["cols"].astype(np.int64), d["values"],
+            dtype if dtype is not None else d["dtype"],
+            nrows=d["nrows"], ncols=d["ncols"],
+        )
+
+    def scan(self, op="plus", order="rowwise", *, name=None):
+        """Prefix scan along rows (reference core/ss/prefix_scan.py:12-183).
+
+        The reference implements this as log-depth semiring matmuls (Blelloch
+        up/down-sweep) because it only has GraphBLAS ops; on TPU we lower to
+        an XLA associative_scan over compacted elements, which is the same
+        log-depth parallel scan directly."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..matrix import Matrix
+        from ..operator.utils import get_typed_op
+
+        p = self._parent
+        typed = get_typed_op(op, p.dtype, p.dtype, kind="binary")
+        rowwise = order in ("rowwise", "C", "row")
+        vals, ok = p._vals, p._valid
+        if not rowwise:
+            vals, ok = vals.T, ok.T
+        # segmented inclusive scan over stored elements within each row:
+        # carry skips missing elements via identity substitution
+        from ..engine import store as st
+
+        mono = getattr(typed.parent, "monoid", None)
+        if mono is not None and typed.type in mono._typed_ops:
+            ident = st.identity_value_array(mono._typed_ops[typed.type], typed.type)
+        else:
+            ident = None
+        x = st.cast_values(vals, p.dtype, typed.type)
+        if ident is None:
+            # general binaryop scan: use associative_scan on (value, present)
+            def combine(a, b):
+                av, ap = a
+                bv, bp = b
+                nv = jnp.where(bp & ap, typed._jax_func(av, bv),
+                               jnp.where(bp, bv, av))
+                return nv, ap | bp
+
+            sv, sp = jax.lax.associative_scan(combine, (x, ok), axis=1)
+        else:
+            xm = jnp.where(ok, x, jnp.broadcast_to(ident, x.shape))
+            sv = jax.lax.associative_scan(typed._jax_func, xm, axis=1)
+            sp = ok
+        out_vals = sv
+        out_ok = ok
+        if not rowwise:
+            out_vals, out_ok = out_vals.T, out_ok.T
+        res = Matrix._from_store(typed.return_type, out_vals, out_ok, name=name)
+        return res

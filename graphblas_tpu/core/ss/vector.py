@@ -1,0 +1,285 @@
+"""Vector.ss: storage-format control (reference core/ss/vector.py, SURVEY row 16)."""
+
+import pickle
+import zlib
+
+import numpy as np
+
+from ...exceptions import InvalidValue
+from ..dtypes import lookup_dtype
+from ..utils import normalize_chunks
+
+
+class VectorSS:
+    __slots__ = "_parent", "config", "__weakref__"
+
+    def __init__(self, parent):
+        self._parent = parent
+        self.config = {"format": "bitmap", "sparsity_control": "auto"}
+
+    @property
+    def format(self):
+        return "bitmap"
+
+    @property
+    def nbytes(self):
+        p = self._parent
+        return p.size * (p.dtype.np_type.itemsize + 1)
+
+    @property
+    def is_iso(self):
+        vals, ok = self._parent._host_arrays()
+        pres = vals[ok]
+        if len(pres) == 0:
+            return False
+        return bool((pres == pres.flat[0]).all())
+
+    @property
+    def iso_value(self):
+        from ..scalar import Scalar
+
+        vals, ok = self._parent._host_arrays()
+        pres = vals[ok]
+        if len(pres) == 0 or not (pres == pres.flat[0]).all():
+            raise ValueError("Vector is not iso-valued")
+        return Scalar.from_value(pres.flat[0], self._parent.dtype)
+
+    # ------------------------------------------------------------------ #
+    def export(self, format=None, *, sort=True, give_ownership=False, raw=False):
+        p = self._parent
+        if format is None:
+            format = "sparse"
+        format = format.lower()
+        vals, ok = p._host_arrays()
+        if format == "sparse":
+            idx, v = p.to_coo()
+            rv = {"indices": idx, "values": v, "sorted_index": True,
+                  "size": p.size, "is_iso": False, "format": "sparse"}
+        elif format == "bitmap":
+            rv = {"bitmap": ok.copy(), "values": vals.copy(),
+                  "nvals": int(ok.sum()), "size": p.size, "is_iso": False,
+                  "format": "bitmap"}
+        elif format == "full":
+            if not ok.all():
+                raise InvalidValue("Vector is not full; cannot export as full")
+            rv = {"values": vals.copy(), "size": p.size, "is_iso": False,
+                  "format": "full"}
+        else:
+            raise ValueError(f"Invalid format: {format}")
+        if give_ownership:
+            p.clear()
+        return rv
+
+    unpack = export
+
+    @classmethod
+    def import_any(cls, **kwargs):
+        from ..vector import Vector
+
+        fmt = kwargs.get("format")
+        if fmt is None:
+            if "indices" in kwargs:
+                fmt = "sparse"
+            elif "bitmap" in kwargs:
+                fmt = "bitmap"
+            else:
+                fmt = "full"
+        fmt = fmt.lower()
+        values = kwargs.get("values")
+        dtype = kwargs.get("dtype")
+        size = kwargs.get("size")
+        if fmt == "sparse":
+            return Vector.from_coo(np.asarray(kwargs["indices"], np.int64),
+                                   values, dtype, size=size)
+        if fmt == "bitmap":
+            import jax.numpy as jnp
+
+            from ..engine import store as st
+
+            bitmap = np.asarray(kwargs["bitmap"], bool)
+            vals = np.asarray(values)
+            dt = lookup_dtype(dtype) if dtype is not None else lookup_dtype(vals.dtype)
+            v = Vector(dt, bitmap.shape[0])
+            v._set_store(st.np_values_to_device(vals.astype(dt.np_type), dt),
+                         jnp.asarray(bitmap))
+            return v
+        if fmt == "full":
+            return Vector.from_dense(np.asarray(values), dtype=dtype)
+        raise ValueError(f"Invalid format: {fmt}")
+
+    import_sparse = import_bitmap = import_full = import_any
+    pack_any = import_any
+
+    # ------------------------------------------------------------------ #
+    def split(self, chunks, *, name=None):
+        from ..vector import Vector
+
+        p = self._parent
+        (sizes,) = normalize_chunks(chunks, p.shape)
+        tiles = []
+        i0 = 0
+        for s in sizes:
+            tiles.append(Vector._from_store(p.dtype, p._vals[i0:i0 + s],
+                                            p._valid[i0:i0 + s]))
+            i0 += s
+        return tiles
+
+    def build_scalar(self, indices, value):
+        indices = np.asarray(indices, np.int64)
+        self._parent.build(indices,
+                           np.broadcast_to(np.asarray(value), indices.shape))
+
+    def iterkeys(self, seek=0):
+        idx, _ = self._parent.to_coo()
+        for i in range(seek, len(idx)):
+            yield int(idx[i])
+
+    def itervalues(self, seek=0):
+        _, v = self._parent.to_coo()
+        for i in range(seek, len(v)):
+            yield v[i]
+
+    def iteritems(self, seek=0):
+        idx, v = self._parent.to_coo()
+        for i in range(seek, len(idx)):
+            yield (int(idx[i]), v[i])
+
+    def head(self, n=10, dtype=None, *, sort=False):
+        idx, v = self._parent.to_coo(dtype)
+        return idx[:n], v[:n]
+
+    # ------------------------------------------------------------------ #
+    def selectk(self, how, k, *, name=None):
+        """Reference core/ss/vector.py:1407."""
+        from ..vector import Vector
+
+        p = self._parent
+        vals, ok = p._host_arrays()
+        idx = np.nonzero(ok)[0]
+        out_ok = np.zeros_like(ok)
+        if len(idx):
+            if how == "first":
+                chosen = idx[:k]
+            elif how == "last":
+                chosen = idx[-k:]
+            elif how == "smallest":
+                chosen = idx[np.argsort(vals[idx], kind="stable")[:k]]
+            elif how == "largest":
+                chosen = idx[np.argsort(vals[idx], kind="stable")[::-1][:k]]
+            elif how == "random":
+                chosen = np.random.default_rng().choice(
+                    idx, size=min(k, len(idx)), replace=False)
+            else:
+                raise ValueError(f"Invalid how: {how}")
+            out_ok[chosen] = True
+        import jax.numpy as jnp
+
+        return Vector._from_store(p.dtype, jnp.asarray(vals),
+                                  jnp.asarray(out_ok), name=name)
+
+    def compactify(self, how="first", size=None, *, name=None):
+        """Reference core/ss/vector.py:1456."""
+        from ..vector import Vector
+
+        p = self._parent
+        vals, ok = p._host_arrays()
+        idx = np.nonzero(ok)[0]
+        vv = vals[idx]
+        if how in ("smallest", "largest"):
+            order = np.argsort(vv, kind="stable")
+            if how == "largest":
+                order = order[::-1]
+            vv = vv[order]
+        elif how == "last":
+            vv = vv[::-1]
+        elif how == "random":
+            vv = np.random.default_rng().permutation(vv)
+        width = len(vv) if size is None else int(size)
+        out_vals = np.zeros((width,), p.dtype.np_type)
+        out_ok = np.zeros((width,), bool)
+        n = min(len(vv), width)
+        out_vals[:n] = vv[:n]
+        out_ok[:n] = True
+        import jax.numpy as jnp
+
+        return Vector._from_store(p.dtype, jnp.asarray(out_vals),
+                                  jnp.asarray(out_ok), name=name)
+
+    def sort(self, op="<", values=True, permutation=True, *, nthreads=None):
+        """Reference core/ss/vector.py:1562."""
+        from ..vector import Vector
+        from ..operator.utils import binary_from_string
+
+        if isinstance(op, str):
+            op = binary_from_string(op)
+        opname = op.name if hasattr(op, "name") else "lt"
+        descending = opname in ("gt", ">")
+        p = self._parent
+        vals, ok = p._host_arrays()
+        idx = np.nonzero(ok)[0]
+        vv = vals[idx]
+        order = np.argsort(vv, kind="stable")
+        if descending:
+            order = order[::-1]
+        n = len(idx)
+        C_vals = np.zeros_like(vals)
+        C_ok = np.zeros_like(ok)
+        P_vals = np.zeros(len(vals), np.int64)
+        P_ok = np.zeros_like(ok)
+        C_vals[:n] = vv[order]
+        C_ok[:n] = True
+        P_vals[:n] = idx[order]
+        P_ok[:n] = True
+        import jax.numpy as jnp
+
+        outs = []
+        if values:
+            outs.append(Vector._from_store(p.dtype, jnp.asarray(C_vals),
+                                           jnp.asarray(C_ok)))
+        if permutation:
+            outs.append(Vector._from_store(lookup_dtype(np.int64),
+                                           jnp.asarray(P_vals), jnp.asarray(P_ok)))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(outs)
+
+    def serialize(self, compression="default", level=None, *, nthreads=None):
+        p = self._parent
+        idx, v = p.to_coo()
+        payload = pickle.dumps(
+            {"dtype": p.dtype.name if not p.dtype._is_udt else p.dtype.np_type.str,
+             "size": p.size, "indices": idx, "values": v},
+            protocol=pickle.HIGHEST_PROTOCOL)
+        if compression in (None, "none"):
+            blob = b"GBTPU1\x00" + payload
+        else:
+            lvl = 6 if level is None else int(level)
+            blob = b"GBTPU1\x01" + zlib.compress(payload, lvl)
+        return np.frombuffer(blob, dtype=np.uint8)
+
+    @staticmethod
+    def deserialize(data, dtype=None, *, nthreads=None):
+        from ..vector import Vector
+
+        blob = bytes(np.asarray(data, np.uint8))
+        if not blob.startswith(b"GBTPU1"):
+            raise InvalidValue("Invalid serialized blob")
+        mode = blob[6]
+        payload = blob[7:]
+        if mode == 1:
+            payload = zlib.decompress(payload)
+        d = pickle.loads(payload)
+        return Vector.from_coo(d["indices"].astype(np.int64), d["values"],
+                               dtype if dtype is not None else d["dtype"],
+                               size=d["size"])
+
+    def scan(self, op="plus", *, name=None):
+        """Prefix scan (reference core/ss/prefix_scan.py applied to vectors)."""
+        m = self._parent._as_matrix()
+        from ..matrix import Matrix
+
+        mm = Matrix._from_store(self._parent.dtype, m._vals.T, m._valid.T)
+        res = mm.ss.scan(op, order="rowwise", name=name)
+        from ..vector import Vector
+
+        return Vector._from_store(res.dtype, res._vals[0], res._valid[0], name=name)

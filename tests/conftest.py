@@ -1,0 +1,43 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths compile
+and execute without TPU hardware (SURVEY §4 note: multi-host tier).
+IMPORTANT: platform selection must happen via jax.config (the JAX_PLATFORMS
+env var can hang during axon plugin discovery in this environment), before
+any jax computation.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      os.environ.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run slow tests")
+    parser.addoption("--blocking", dest="blocking", action="store_true",
+                     default=None)
+    parser.addoption("--record", dest="record", action="store_true", default=False)
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="need --runslow option to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
