@@ -63,7 +63,7 @@ def init(backend="tpu", blocking=None):
     _core._blocking = bool(blocking)
 
 
-from .core import dtypes  # noqa: E402
+from . import dtypes  # noqa: E402
 from .exceptions import GraphblasException  # noqa: E402, F401
 
 # operator namespaces

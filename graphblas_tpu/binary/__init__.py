@@ -40,10 +40,11 @@ def __dir__():
 
 def __getattr__(key):
     if key == "numpy":
-        from . import numpy
+        import importlib
 
-        globals()["numpy"] = numpy
-        return numpy
+        numpy_mod = importlib.import_module(".numpy", __name__)
+        globals()["numpy"] = numpy_mod
+        return numpy_mod
     if key in _SS_NAMES:
         raise AttributeError(
             f"gb.binary.{key} is available as gb.binary.ss.{key} "

@@ -317,7 +317,8 @@ class Collection(BaseType):
         """Get a single element as a Python value (reference matrix.py:804)."""
         if len(index) == 1 and isinstance(index[0], tuple):
             index = index[0]
-        s = self[index if self.ndim == 2 else index[0]].new()
+        key = tuple(index) if self.ndim == 2 else index[0]
+        s = self[key].new()
         v = s.value
         return default if v is None else v
 
@@ -343,7 +344,7 @@ class Collection(BaseType):
         resolver = IndexerResolver(self, index)
         if not resolver.is_single_element:
             raise TypeError(f"Invalid index to Matrix/Vector contains: {index!r}")
-        s = self[index if self.ndim == 2 else index[0]].new()
+        s = self[index].new()
         return not s._is_empty
 
     # assign / delete implementations

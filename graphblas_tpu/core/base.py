@@ -100,7 +100,7 @@ class BaseType:
     # ------------------------------------------------------------------ #
     # the (mask, accum, replace) protocol
     def __call__(self, *optional, mask=None, accum=None, replace=False,
-                 input_mask=None, **opts):
+                 input_mask=None, _mask_shape=None, **opts):
         from graphblas_tpu import replace as replace_singleton
 
         from .expr import Updater
@@ -128,7 +128,15 @@ class BaseType:
                     raise TypeError("Got multiple accum")
                 accum = op
         if mask is not None:
-            mask = _check_mask(mask, self)
+            if _mask_shape is not None:
+                mask = _check_mask(mask)
+                if mask.parent.shape != tuple(_mask_shape):
+                    raise DimensionMismatch(
+                        f"mask shape {mask.parent.shape} does not match "
+                        f"region shape {tuple(_mask_shape)}"
+                    )
+            else:
+                mask = _check_mask(mask, self)
         if input_mask is not None:
             if mask is not None:
                 raise TypeError("mask and input_mask arguments cannot both be given")
@@ -162,8 +170,10 @@ class BaseType:
                 expr = expr._as_extract_expr()
         elif input_mask is not None:
             raise TypeError("`input_mask` argument may only be used for extract")
-        if isinstance(expr, BaseType):
-            expr = expr._as_identity_expr(self.dtype)
+        from .matrix import TransposedMatrix
+
+        if isinstance(expr, (BaseType, TransposedMatrix)):
+            expr = execute.make_identity_expr(expr, self.dtype)
         if not isinstance(expr, BaseExpression):
             from .scalar import _is_scalar_like
 

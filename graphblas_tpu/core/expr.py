@@ -217,8 +217,13 @@ class AmbiguousAssignOrExtract:
     _name_html = name
 
     def __call__(self, *args, **kwargs):
-        """C[idx](mask) — a *submask* assigner (GxB_subassign semantics)."""
-        updater = self.parent.__call__(*args, **kwargs)
+        """C[idx](mask) — a *submask* assigner (GxB_subassign semantics).
+
+        The mask is region-shaped (matches the extracted/assigned area),
+        unlike C(mask)[idx] where the mask is C-shaped.
+        Reference: matrix.py:2905+ assign-vs-subassign scoping."""
+        updater = self.parent.__call__(*args, _mask_shape=self.resolver.out_shape,
+                                       **kwargs)
         return Assigner(updater, self.resolver, is_submask=True)
 
     def _as_extract_expr(self):

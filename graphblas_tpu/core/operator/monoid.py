@@ -72,7 +72,7 @@ class TypedUserMonoid(TypedBuiltinMonoid):
 
 
 class Monoid(OpBase):
-    __slots__ = "_binaryop", "_is_idempotent"
+    __slots__ = "_binaryop", "_is_idempotent", "_udt_identity_value"
     _modname = "monoid"
     _typed_class = TypedBuiltinMonoid
 
@@ -80,6 +80,7 @@ class Monoid(OpBase):
         super().__init__(name, anonymous=anonymous)
         self._binaryop = binaryop
         self._is_idempotent = is_idempotent
+        self._udt_identity_value = None
 
     @property
     def binaryop(self):
@@ -110,7 +111,7 @@ class Monoid(OpBase):
         )
 
     def _udt_identity(self, dtype):
-        return None
+        return self._udt_identity_value
 
     @classmethod
     def _build_builtin(cls, name, binaryop, domains, identity_fn, *,
@@ -176,7 +177,7 @@ class Monoid(OpBase):
         if binaryop._udt_func is not None:
             mono._udt_func = binaryop._udt_func
             if not isinstance(identity, Mapping):
-                mono._udt_identity = lambda dtype, _v=identity: _v
+                mono._udt_identity_value = identity
         if not mono._typed_ops and mono._udt_func is None:
             raise ValueError(
                 f"Unable to create monoid from binaryop {binaryop.name}: no closed dtypes"

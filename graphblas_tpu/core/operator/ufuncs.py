@@ -58,8 +58,8 @@ def idiv(x, y):
         safe_y = jnp.where(y == 0, jnp.array(1, dtype), y)
         q = x // safe_y
         r = x - q * safe_y
-        # floor -> trunc correction
-        q = jnp.where((r != 0) & ((r < 0) != (safe_y < 0)), q + 1, q)
+        # floor -> trunc correction: round toward zero when signs differ
+        q = jnp.where((r != 0) & ((x < 0) != (safe_y < 0)), q + 1, q)
         return jnp.where(y == 0, zero_res, q)
     # unsigned
     zero_res = jnp.where(x == 0, jnp.array(0, dtype), jnp.array(_intmax(dtype), dtype))

@@ -52,7 +52,9 @@ def _register_into_namespace(modname, name, op):
             raise AttributeError(f"{part} is already taken in {modname} namespace")
         cur = nxt
     leaf = path[-1]
-    existing = getattr(cur, leaf, None)
+    # look only at already-materialized names (module __getattr__ may be a
+    # lazy builder that would *create* the name being registered)
+    existing = vars(cur).get(leaf) if isinstance(cur, ModuleType) else getattr(cur, leaf, None)
     if existing is not None and not isinstance(existing, (OpPath, ModuleType)):
         raise AttributeError(f"{name} is already defined in gb.{modname}")
     setattr(cur, leaf, op)

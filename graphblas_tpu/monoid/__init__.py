@@ -29,8 +29,9 @@ def __dir__():
 
 def __getattr__(key):
     if key == "numpy":
-        from . import numpy
+        import importlib
 
-        globals()["numpy"] = numpy
-        return numpy
+        numpy_mod = importlib.import_module(".numpy", __name__)
+        globals()["numpy"] = numpy_mod
+        return numpy_mod
     raise AttributeError(f"module 'graphblas_tpu.monoid' has no attribute {key!r}")

@@ -95,10 +95,11 @@ def __dir__():
 
 def __getattr__(key):
     if key == "numpy":
-        from . import numpy
+        import importlib
 
-        globals()["numpy"] = numpy
-        return numpy
+        numpy_mod = importlib.import_module(".numpy", __name__)
+        globals()["numpy"] = numpy_mod
+        return numpy_mod
     if key.startswith("__"):
         raise AttributeError(key)
     # min_select1st/2nd aliases (SuiteSparse legacy): select1st == first
