@@ -1,0 +1,80 @@
+"""Multi-chip distribution: mesh-sharded matrices + collective semiring ops.
+
+The reference has no distributed backend (SURVEY §2.9) — its parallelism is
+OpenMP threads inside one process.  This package is the TPU-native equivalent
+the blueprint calls for: adjacency matrices sharded over a
+``jax.sharding.Mesh`` (1D row-block or 2D block partition), vectors sharded/
+replicated with ``NamedSharding``, and semiring SpMV/SpGEMM expressed through
+``shard_map`` with explicit XLA collectives (psum-style monoid reductions over
+the contraction axis, all-gather of frontier vectors) riding ICI.
+
+Two usage levels:
+1. Transparent GSPMD: `shard_matrix`/`shard_vector` place the bitmap stores
+   with shardings; the regular fused engine kernels then run SPMD under jit
+   with compiler-inserted collectives.
+2. Explicit shard_map kernels (spmv.py): per-device blocks + hand-placed
+   collectives, used by the distributed algorithm steps and the multi-chip
+   dry run.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .spmv import (
+    dist_bfs_step,
+    dist_mxv,
+    dist_pagerank_step,
+    make_blocked_csr,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_matrix",
+    "shard_vector",
+    "replicate",
+    "dist_mxv",
+    "dist_bfs_step",
+    "dist_pagerank_step",
+    "make_blocked_csr",
+    "Mesh",
+    "P",
+]
+
+
+def make_mesh(shape=None, axis_names=None, *, devices=None):
+    """Create a device mesh.  Default: 1D mesh over all devices, axis 'i'."""
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    if axis_names is None:
+        axis_names = ("i", "j")[: len(shape)]
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def shard_matrix(A, mesh, spec=None):
+    """Place a Matrix's store with a NamedSharding (row-block by default).
+
+    Row dimension must divide evenly by the mesh axis size (pad with
+    `A.resize` first if needed).
+    """
+    if spec is None:
+        spec = P(mesh.axis_names[0], None)
+    sh = NamedSharding(mesh, spec)
+    A._set_store(jax.device_put(A._vals, sh), jax.device_put(A._valid, sh))
+    return A
+
+
+def shard_vector(v, mesh, spec=None):
+    """Shard a Vector over the first mesh axis (or replicate with P())."""
+    if spec is None:
+        spec = P(mesh.axis_names[0])
+    sh = NamedSharding(mesh, spec)
+    v._set_store(jax.device_put(v._vals, sh), jax.device_put(v._valid, sh))
+    return v
+
+
+def replicate(v, mesh):
+    return shard_vector(v, mesh, P())
