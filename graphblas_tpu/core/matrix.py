@@ -708,13 +708,20 @@ class Matrix(Collection):
         return Vector._from_store(self.dtype, self._vals[:, 0], self._valid[:, 0],
                                   name=name if name is not None else self._name)
 
-    @property
-    def ss(self):
-        if self._ss is None:
+    class _SSDescriptor:
+        """Matrix.ss: instance -> MatrixSS(instance); class -> static surface
+        (import_any, deserialize, ...), matching the reference."""
+
+        def __get__(self, obj, objtype=None):
             from .ss.matrix import MatrixSS
 
-            self._ss = MatrixSS(self)
-        return self._ss
+            if obj is None:
+                return MatrixSS
+            if obj._ss is None:
+                obj._ss = MatrixSS(obj)
+            return obj._ss
+
+    ss = _SSDescriptor()
 
     def __reduce__(self):
         r, c, v = self.to_coo()

@@ -257,6 +257,8 @@ def _normalize_sig(func, nargs_expected, what):
         )
     except (TypeError, ValueError):
         return
+    if any(p.kind == p.VAR_POSITIONAL for p in sig.parameters.values()):
+        return  # *args-style wrappers (e.g. some jnp ufuncs)
     if nargs_expected is not None and nparams != nargs_expected:
         raise TypeError(
             f"{what} function must take exactly {nargs_expected} positional arguments; "

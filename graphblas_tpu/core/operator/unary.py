@@ -104,7 +104,9 @@ _BUILTIN = {
     "acosh": (_FPFC, jnp.arccosh, None),
     "asinh": (_FPFC, jnp.arcsinh, None),
     "atanh": (_FPFC, jnp.arctanh, None),
-    "signum": (_FPFC, jnp.sign, None),
+    # signum over all real dtypes (reference FP-only; int extension is a
+    # harmless superset that keeps numpy.sign mapping valid for ints)
+    "signum": (_D11, jnp.sign, None),
     "ceil": (_FPFC, lambda x: jnp.ceil(x.real).astype(x.dtype) if uf.is_complex(x) else jnp.ceil(x), None),
     "floor": (_FPFC, lambda x: jnp.floor(x.real).astype(x.dtype) if uf.is_complex(x) else jnp.floor(x), None),
     "round": (_FPFC, _c_round, None),

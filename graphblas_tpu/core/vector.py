@@ -461,13 +461,19 @@ class Vector(Collection):
                                   self._valid[:, None],
                                   name=name if name is not None else self._name)
 
-    @property
-    def ss(self):
-        if self._ss is None:
+    class _SSDescriptor:
+        """Vector.ss: instance -> VectorSS(instance); class -> static surface."""
+
+        def __get__(self, obj, objtype=None):
             from .ss.vector import VectorSS
 
-            self._ss = VectorSS(self)
-        return self._ss
+            if obj is None:
+                return VectorSS
+            if obj._ss is None:
+                obj._ss = VectorSS(obj)
+            return obj._ss
+
+    ss = _SSDescriptor()
 
     def __reduce__(self):
         idx, vals = self.to_coo()

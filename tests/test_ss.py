@@ -1,0 +1,178 @@
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import binary, dtypes, monoid
+
+from .helpers import make_A, make_v
+
+
+@pytest.fixture
+def A():
+    return make_A()
+
+
+@pytest.fixture
+def v():
+    return make_v()
+
+
+def test_matrix_export_import_roundtrip(A):
+    for fmt in ["csr", "csc", "hypercsr", "hypercsc", "bitmapr", "bitmapc",
+                "coor"]:
+        d = A.ss.export(fmt)
+        assert d["format"] == fmt
+        B = gb.Matrix.ss.import_any(**d)
+        assert B.isequal(A), fmt
+
+
+def test_matrix_export_full():
+    M = gb.Matrix.from_scalar(2, 3, 4)
+    d = M.ss.export("fullr")
+    assert d["values"].shape == (3, 4)
+    B = gb.Matrix.ss.import_any(**d)
+    assert B.isequal(M)
+    A = make_A()
+    with pytest.raises(Exception):
+        A.ss.export("fullr")
+
+
+def test_vector_export_import(v):
+    for fmt in ["sparse", "bitmap"]:
+        d = v.ss.export(fmt)
+        w = gb.Vector.ss.import_any(**d)
+        assert w.isequal(v), fmt
+    full = gb.Vector.from_scalar(1, 4)
+    d = full.ss.export("full")
+    w = gb.Vector.ss.import_any(**d)
+    assert w.isequal(full)
+
+
+def test_split_concat(A):
+    tiles = A.ss.split([4, None])
+    assert len(tiles) == 2 and len(tiles[0]) == 1
+    assert tiles[0][0].shape == (4, 7)
+    assert tiles[1][0].shape == (3, 7)
+    B = gb.ss.concat(tiles)
+    assert B.isequal(A)
+    tiles2 = A.ss.split([[3, 4], [2, 5]])
+    assert tiles2[0][1].shape == (3, 5)
+    B2 = gb.ss.concat(tiles2)
+    assert B2.isequal(A)
+
+
+def test_vector_split_concat(v):
+    parts = v.ss.split(3)
+    assert [p.size for p in parts] == [3, 3, 1]
+    w = gb.ss.concat(parts)
+    assert w.isequal(v)
+
+
+def test_flatten_reshape(A):
+    f = A.ss.flatten()
+    assert f.size == 49
+    assert f[0 * 7 + 1].new().value == 2
+    M = A.ss.reshape(49, 1)
+    assert M.shape == (49, 1)
+    back = M.ss.reshape(7, 7)
+    assert back.isequal(A)
+    fc = A.ss.flatten(order="columnwise")
+    assert fc[0 * 7 + 3].new().value == 3  # A[3,0] in col order
+
+
+def test_selectk_compactify(A):
+    first2 = A.ss.selectk("first", 2)
+    counts = first2.reduce_rowwise(gb.agg.count).new().to_dict()
+    assert all(c <= 2 for c in counts.values())
+    largest1 = A.ss.selectk("largest", 1)
+    assert largest1[1, 4].new().value == 8
+    comp = A.ss.compactify("first")
+    assert comp.nvals == A.nvals
+    assert comp.ncols == 3  # max row degree
+
+
+def test_sort(A):
+    C, P = A.ss.sort("<")
+    # row 6 values 5,7,3 -> sorted 3,5,7 with permutation cols 4,2,3
+    assert C[6, 0].new().value == 3
+    assert C[6, 1].new().value == 5
+    assert C[6, 2].new().value == 7
+    assert P[6, 0].new().value == 4
+    Cd = A.ss.sort(">", permutation=False)
+    assert Cd[6, 0].new().value == 7
+
+
+def test_serialize_roundtrip(A, v):
+    blob = A.ss.serialize()
+    B = gb.Matrix.ss.deserialize(blob)
+    assert B.isequal(A)
+    blob2 = v.ss.serialize(compression=None)
+    w = gb.Vector.ss.deserialize(blob2)
+    assert w.isequal(v)
+
+
+def test_scan(v):
+    s = v.ss.scan()
+    # v = {1:1, 3:1, 4:2, 6:0}; prefix sums over stored: 1, 2, 4, 4
+    assert s.to_dict() == {1: 1, 3: 2, 4: 4, 6: 4}
+    A = make_A()
+    S = A.ss.scan()
+    assert S[6, 2].new().value == 5
+    assert S[6, 3].new().value == 12
+    assert S[6, 4].new().value == 15
+
+
+def test_scan_matches_cumsum(rng):
+    vals = rng.integers(1, 5, size=20)
+    v = gb.Vector.from_dense(vals)
+    s = v.ss.scan()
+    np.testing.assert_array_equal(s.to_dense(), np.cumsum(vals))
+
+
+def test_iterators(A, v):
+    keys = list(A.ss.iterkeys())
+    assert keys[0] == (0, 1)
+    assert len(keys) == 12
+    items = list(v.ss.iteritems())
+    assert items == [(1, 1), (3, 1), (4, 2), (6, 0)]
+
+
+def test_is_iso(A):
+    assert not A.ss.is_iso
+    M = gb.Matrix.from_scalar(5, 2, 2)
+    assert M.ss.is_iso
+    assert M.ss.iso_value.value == 5
+
+
+def test_head(v):
+    idx, vals = v.ss.head(2)
+    assert idx.tolist() == [1, 3]
+    assert vals.tolist() == [1, 1]
+
+
+def test_global_config_about():
+    assert "format" in gb.ss.config
+    assert gb.ss.config["burble"] is False
+    with pytest.raises(KeyError):
+        gb.ss.config["bogus"] = 1
+    about = gb.ss.about
+    assert about["library_name"] == "graphblas_tpu"
+    assert "jax_version" in about
+
+
+def test_global_diag(v):
+    M = gb.ss.diag(v)
+    assert M.shape == (7, 7)
+    d = gb.ss.diag(M)
+    assert d.isequal(v.dup(mask=v.S))
+
+
+def test_context():
+    from graphblas_tpu.ss import Context
+
+    with Context(nthreads=4) as ctx:
+        assert ctx.nthreads == 4
+        v = make_v()
+        assert v.reduce(monoid.plus).new().value == 4
+    ctx2 = Context(engage=False)
+    assert not ctx2._engaged
