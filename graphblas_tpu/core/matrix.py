@@ -332,36 +332,12 @@ class Matrix(Collection):
                 raise IndexOutOfBound(
                     f"column index out of bounds for ncols {self._ncols}"
                 )
-        lin = rows * self._ncols + columns
-        order = np.argsort(lin, kind="stable")
-        if dup_op is None:
-            slin = lin[order]
-            if len(slin) and (slin[1:] == slin[:-1]).any():
-                raise InvalidValue("duplicate indices found; use dup_op to combine")
-            host_vals = np.zeros((self._nrows, self._ncols), self.dtype.np_type)
-            host_ok = np.zeros((self._nrows, self._ncols), bool)
-            host_vals[rows, columns] = np.asarray(values, self.dtype.np_type)
-            host_ok[rows, columns] = True
-        else:
-            dup_typed = get_typed_op(dup_op, self.dtype, self.dtype, kind="binary")
-            combined = {}
-            for r, c, v in zip(rows, columns, values):
-                key = (int(r), int(c))
-                if key in combined:
-                    import jax.numpy as jnp2
+        from ._build import build_coo_store
 
-                    a = jnp2.asarray(np.array(combined[key], dup_typed.type.np_type))
-                    b = jnp2.asarray(np.array(v, dup_typed.type2.np_type))
-                    combined[key] = np.asarray(dup_typed._jax_func(a, b))[()]
-                else:
-                    combined[key] = v
-            host_vals = np.zeros((self._nrows, self._ncols), self.dtype.np_type)
-            host_ok = np.zeros((self._nrows, self._ncols), bool)
-            for (r, c), v in combined.items():
-                host_vals[r, c] = v
-                host_ok[r, c] = True
-        self._set_store(st.np_values_to_device(host_vals, self.dtype),
-                        jnp.asarray(host_ok))
+        vals_dev, ok_dev = build_coo_store(
+            rows, columns, values, (self._nrows, self._ncols), self.dtype, dup_op
+        )
+        self._set_store(vals_dev, ok_dev)
 
     # ------------------------------------------------------------------ #
     # exports

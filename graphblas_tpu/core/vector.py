@@ -229,36 +229,12 @@ class Vector(Collection):
             )
         if len(indices) and (indices.min() < 0 or indices.max() >= self._size):
             raise IndexOutOfBound(f"index out of bounds for size {self._size}")
-        dup = np.zeros(len(indices), bool)
-        order = np.argsort(indices, kind="stable")
-        sorted_idx = indices[order]
-        if dup_op is None:
-            if len(sorted_idx) and (sorted_idx[1:] == sorted_idx[:-1]).any():
-                raise InvalidValue("duplicate indices found; use dup_op to combine")
-            combined_idx, combined_vals = indices, values
-        else:
-            dup_typed = get_typed_op(dup_op, self.dtype, self.dtype, kind="binary")
-            _, oc = find_opclass(dup_typed)
-            if oc == "Monoid":
-                dup_typed = dup_typed.binaryop if hasattr(dup_typed, "binaryop") else dup_typed
-            combined = {}
-            for i, val in zip(indices, values):
-                if i in combined:
-                    import jax.numpy as jnp2
+        from ._build import build_coo_store
 
-                    a = jnp2.asarray(np.array(combined[i], dup_typed.type.np_type))
-                    b = jnp2.asarray(np.array(val, dup_typed.type2.np_type))
-                    combined[i] = np.asarray(dup_typed._jax_func(a, b))[()]
-                else:
-                    combined[i] = val
-            combined_idx = np.fromiter(combined.keys(), np.int64, count=len(combined))
-            combined_vals = np.array(list(combined.values()), self.dtype.np_type)
-        host_vals = np.zeros((self._size,), self.dtype.np_type)
-        host_ok = np.zeros((self._size,), bool)
-        host_vals[combined_idx] = np.asarray(combined_vals, self.dtype.np_type)
-        host_ok[combined_idx] = True
-        self._set_store(st.np_values_to_device(host_vals, self.dtype),
-                        jnp.asarray(host_ok))
+        vals_dev, ok_dev = build_coo_store(
+            indices, None, values, (self._size,), self.dtype, dup_op
+        )
+        self._set_store(vals_dev, ok_dev)
 
     # ------------------------------------------------------------------ #
     # exports

@@ -1,0 +1,133 @@
+"""Native (C++) host-side graph-builder, reached via ctypes.
+
+Compiled lazily from builder.cpp with the system toolchain into
+``_build/libgbbuilder.so``; every entry point has a pure-numpy fallback so
+the package works without a compiler.  This is the TPU-native analog of the
+host-side data-plane the reference gets from libgraphblas's GrB_Matrix_build.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_SO_PATH = os.path.join(_BUILD_DIR, "libgbbuilder.so")
+_SRC = os.path.join(_HERE, "builder.cpp")
+
+_lib = None
+_tried = False
+_lock = threading.Lock()
+
+
+def _build():
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO_PATH]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO_PATH) or (
+                os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)
+            ):
+                _build()
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.coo_argsort.restype = ctypes.c_int
+            lib.coo_argsort.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.coo_mark_unique.restype = ctypes.c_int64
+            lib.coo_mark_unique.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.coo_to_csr_indptr.restype = ctypes.c_int
+            lib.coo_to_csr_indptr.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.coo_degrees.restype = ctypes.c_int
+            lib.coo_degrees.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            _lib = lib
+        except Exception:  # noqa: BLE001  (no toolchain -> numpy fallback)
+            _lib = None
+    return _lib
+
+
+def available():
+    return get_lib() is not None
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def coo_argsort(rows, cols, nrows, ncols):
+    """Lexicographic argsort of (rows, cols); int64 arrays."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    n = len(rows)
+    lib = get_lib()
+    if lib is None or n < 4096:
+        return np.lexsort((cols, rows))
+    perm = np.empty(n, np.int64)
+    rc = lib.coo_argsort(_ptr(rows), _ptr(cols), n, int(nrows), int(ncols),
+                         _ptr(perm))
+    if rc != 0:
+        return np.lexsort((cols, rows))
+    return perm
+
+
+def coo_mark_unique(sorted_rows, sorted_cols):
+    """uniq flags (uint8) + count for sorted coordinates."""
+    sorted_rows = np.ascontiguousarray(sorted_rows, np.int64)
+    sorted_cols = np.ascontiguousarray(sorted_cols, np.int64)
+    n = len(sorted_rows)
+    lib = get_lib()
+    if lib is None or n < 4096:
+        if n == 0:
+            return np.zeros(0, np.uint8), 0
+        flags = np.empty(n, np.uint8)
+        flags[0] = 1
+        flags[1:] = (np.diff(sorted_rows) != 0) | (np.diff(sorted_cols) != 0)
+        return flags, int(flags.sum())
+    flags = np.empty(n, np.uint8)
+    uniq = lib.coo_mark_unique(_ptr(sorted_rows), _ptr(sorted_cols), n, _ptr(flags))
+    return flags, int(uniq)
+
+
+def coo_to_csr_indptr(sorted_rows, nrows):
+    sorted_rows = np.ascontiguousarray(sorted_rows, np.int64)
+    n = len(sorted_rows)
+    lib = get_lib()
+    if lib is None or n < 4096:
+        indptr = np.zeros(nrows + 1, np.int64)
+        np.add.at(indptr, sorted_rows + 1, 1)
+        return np.cumsum(indptr)
+    indptr = np.empty(nrows + 1, np.int64)
+    lib.coo_to_csr_indptr(_ptr(sorted_rows), n, int(nrows), _ptr(indptr))
+    return indptr
+
+
+def coo_degrees(rows, nrows):
+    rows = np.ascontiguousarray(rows, np.int64)
+    n = len(rows)
+    lib = get_lib()
+    if lib is None or n < 4096:
+        return np.bincount(rows, minlength=nrows).astype(np.int64)
+    deg = np.empty(nrows, np.int64)
+    lib.coo_degrees(_ptr(rows), n, int(nrows), _ptr(deg))
+    return deg
