@@ -174,11 +174,39 @@ _FAST_REDUCE = {
 }
 
 
+def _reduce_tree(x, valid, combine, axis):
+    """Sequential monoid fold for pytree (UDT) values along one axis."""
+    if isinstance(axis, tuple):
+        x = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[len(axis):]), x)
+        valid = valid.reshape(-1)
+        axis = 0
+    n = valid.shape[axis]
+    first = st.tree_index(x, (slice(None),) * axis + (0,))
+    acc0 = (first, valid.take(0, axis=axis))
+
+    def fold(i, acc_pair):
+        acc, acc_ok = acc_pair
+        xi = jax.tree_util.tree_map(lambda a: a.take(i, axis=axis), x)
+        ok_i = valid.take(i, axis=axis)
+        both = acc_ok & ok_i
+        merged = combine(acc, xi) if combine is not None else acc
+        new = st.where_values(both, merged, st.where_values(ok_i, xi, acc))
+        return new, acc_ok | ok_i
+
+    acc, ok = jax.lax.fori_loop(1, n, fold, acc0)
+    return acc, ok
+
+
 def reduce_monoid(vals, valid, mono, in_dt, axis):
     """Monoid-reduce along `axis` (int or tuple).  Returns (vals, valid)."""
     name = mono.parent.name
     x = st.cast_values(vals, in_dt, mono.type)
     out_valid = jnp.any(valid, axis=axis)
+    if isinstance(x, dict):
+        combine = None if name == "any" else mono._jax_func
+        red, _ = _reduce_tree(x, valid, combine, axis)
+        return red, out_valid
     if name == "any":
         # deterministic: first stored element in row-major order
         if isinstance(axis, tuple):
@@ -473,13 +501,13 @@ def write_back(c_vals, c_valid, c_dt, z_vals, z_valid, z_dt, mask_arr, accum, re
 # --------------------------------------------------------------------- #
 # extract / assign / structure ops
 def extract_matrix(a_vals, a_valid, rows, cols):
-    v = jnp.take(jnp.take(a_vals, rows, axis=0), cols, axis=1)
+    v = st.tree_take(st.tree_take(a_vals, rows, 0), cols, 1)
     ok = jnp.take(jnp.take(a_valid, rows, axis=0), cols, axis=1)
     return v, ok
 
 
 def extract_vector(a_vals, a_valid, idx):
-    return jnp.take(a_vals, idx, axis=0), jnp.take(a_valid, idx, axis=0)
+    return st.tree_take(a_vals, idx, 0), jnp.take(a_valid, idx, axis=0)
 
 
 def scatter_matrix(shape, rows, cols, z_vals, z_valid, dtype):
@@ -489,7 +517,7 @@ def scatter_matrix(shape, rows, cols, z_vals, z_valid, dtype):
     region = jnp.zeros(shape, bool)
     r = rows[:, None]
     c = cols[None, :]
-    out_vals = out_vals.at[r, c].set(z_vals)
+    out_vals = st.tree_set(out_vals, (r, c), z_vals)
     out_valid = out_valid.at[r, c].set(z_valid)
     region = region.at[r, c].set(True)
     return out_vals, out_valid, region
@@ -499,7 +527,7 @@ def scatter_vector(size, idx, z_vals, z_valid, dtype):
     out_vals = st.zeros_values((size,), dtype)
     out_valid = jnp.zeros((size,), bool)
     region = jnp.zeros((size,), bool)
-    out_vals = out_vals.at[idx].set(z_vals)
+    out_vals = st.tree_set(out_vals, idx, z_vals)
     out_valid = out_valid.at[idx].set(z_valid)
     region = region.at[idx].set(True)
     return out_vals, out_valid, region
@@ -573,6 +601,6 @@ def reposition(vals, valid, offsets, out_shape):
         else:
             pads.append((0, max(0, dim_out - dim_in - off)))
             slices.append(slice(-off, -off + dim_out))
-    svals = jnp.pad(vals, pads)[tuple(slices)]
+    svals = st.tree_index(st.tree_pad(vals, pads), tuple(slices))
     svalid = jnp.pad(valid, pads)[tuple(slices)]
     return svals, svalid

@@ -63,7 +63,8 @@ def np_values_to_device(array, dtype):
     """Convert a host numpy array (possibly structured) to the device pytree."""
     nt = dtype.np_type
     if nt.names:
-        return {name: jnp.asarray(np.ascontiguousarray(array[name])) for name in nt.names}
+        # note: np.ascontiguousarray promotes 0-d to 1-d; use copy() instead
+        return {name: jnp.asarray(array[name].copy()) for name in nt.names}
     return jnp.asarray(array)
 
 
@@ -106,6 +107,28 @@ def cast_values(values, from_dtype, to_dtype):
     if from_dtype.is_complex and not to_dtype.is_complex:
         return values.real.astype(target)
     return values.astype(target)
+
+
+def tree_index(vals, idx):
+    """Index a values pytree with a (possibly traced) index tuple."""
+    return jax.tree_util.tree_map(lambda a: a[idx], vals)
+
+
+def tree_take(vals, idx, axis):
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=axis), vals)
+
+
+def tree_set(vals, idx, update):
+    """`.at[idx].set(update)` over a values pytree."""
+    if isinstance(vals, dict):
+        return {k: vals[k].at[idx].set(update[k]) for k in vals}
+    return vals.at[idx].set(update)
+
+
+def tree_pad(vals, pads):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, list(pads) + [(0, 0)] * (a.ndim - len(pads))), vals
+    )
 
 
 def identity_value_array(mono, dtype):

@@ -373,14 +373,14 @@ def T_extract(expr, dyn):
         return dense.extract_matrix(a_vals, a_valid, rows, cols)
     if pattern == "row":
         i, cols = dyn[1], dyn[2]
-        v = jnp.take(a_vals, cols, axis=1)
+        v = st.tree_take(a_vals, cols, 1)
         ok = jnp.take(a_valid, cols, axis=1)
-        return jnp.take(v, i, axis=0)[0], jnp.take(ok, i, axis=0)[0]
+        return st.tree_index(st.tree_take(v, i, 0), 0), jnp.take(ok, i, axis=0)[0]
     # col
     rows, j = dyn[1], dyn[2]
-    v = jnp.take(a_vals, rows, axis=0)
+    v = st.tree_take(a_vals, rows, 0)
     ok = jnp.take(a_valid, rows, axis=0)
-    return jnp.take(v, j, axis=1)[:, 0], jnp.take(ok, j, axis=1)[:, 0]
+    return st.tree_index(st.tree_take(v, j, 1), (slice(None), 0)),         jnp.take(ok, j, axis=1)[:, 0]
 
 
 def T_extract_element(expr, dyn):
@@ -389,9 +389,9 @@ def T_extract_element(expr, dyn):
     a_vals, a_valid = _maybe_T(dyn[0], tflag)
     if ndim == 2:
         i, j = dyn[1], dyn[2]
-        return a_vals[i, j], a_valid[i, j]
+        return st.tree_index(a_vals, (i, j)), a_valid[i, j]
     i = dyn[1]
-    return a_vals[i], a_valid[i]
+    return st.tree_index(a_vals, i), a_valid[i]
 
 
 def T_transpose(expr, dyn):
@@ -495,7 +495,8 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
         c_vals, c_valid = c_store
         if value_is_scalar:
             sval, spresent = vdyn
-            z_vals = jnp.broadcast_to(jnp.asarray(sval), region_shape)
+            z_vals = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, region_shape + a.shape), sval)
             z_valid = jnp.broadcast_to(spresent, region_shape)
         else:
             z_vals, z_valid = vdyn

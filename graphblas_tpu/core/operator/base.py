@@ -108,7 +108,11 @@ class OpBase:
     # ------------------------------------------------------------------ #
     @property
     def types(self):
-        return {t: op.return_type for t, op in self._typed_ops.items()}
+        return {
+            t: op.return_type
+            for t, op in self._typed_ops.items()
+            if not isinstance(t, tuple)  # (dtype, dtype2) UDT cache entries
+        }
 
     @property
     def is_positional(self):

@@ -354,7 +354,10 @@ class ParameterizedBinaryOp(ParameterizedUdf):
 
 def _wrap_user_binary(func):
     def wrapper(x, y):
-        return jnp.asarray(func(x, y))
+        out = func(x, y)
+        if isinstance(out, dict):  # UDT (struct) result
+            return out
+        return jnp.asarray(out)
 
     return wrapper
 

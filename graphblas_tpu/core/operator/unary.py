@@ -236,7 +236,10 @@ class ParameterizedUnaryOp(ParameterizedUdf):
 
 def _wrap_user_unary(func):
     def wrapper(x):
-        return jnp.asarray(func(x))
+        out = func(x)
+        if isinstance(out, dict):  # UDT (struct) result
+            return out
+        return jnp.asarray(out)
 
     return wrapper
 

@@ -17,7 +17,8 @@ from .utils import output_type, _output_types
 
 
 def _is_scalar_like(value):
-    return isinstance(value, (int, float, bool, complex, np.number, np.bool_))
+    return isinstance(value, (int, float, bool, complex, np.number, np.bool_,
+                              np.void))
 
 
 class Scalar(BaseType):
@@ -64,7 +65,10 @@ class Scalar(BaseType):
         if dtype is None:
             if not _is_scalar_like(value):
                 raise TypeError(f"Bad value for Scalar: {type(value)}")
-            dtype = lookup_dtype(type(value))
+            if isinstance(value, np.void):
+                dtype = lookup_dtype(value.dtype)
+            else:
+                dtype = lookup_dtype(type(value))
         s = cls(dtype, is_cscalar=is_cscalar, name=name)
         if value is not None:
             s.value = value

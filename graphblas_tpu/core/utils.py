@@ -44,7 +44,19 @@ def values_to_numpy_buffer(array, dtype=None, *, copy=False, subarray_after=None
     """Coerce values to a numpy buffer + DataType (reference core/utils.py:56)."""
     if dtype is not None:
         dtype = lookup_dtype(dtype)
-        array = np.array(array, _np_dtype_for(dtype), copy=copy or None, order=order)
+        nt = dtype.np_type
+        if nt.subdtype is not None:
+            # subarray dtype: values come as (n, *subshape) of the base dtype
+            # (np.array(values, subarray_dtype) would broadcast wrongly)
+            array = np.asarray(array, nt.subdtype[0].base, order=order)
+            sub = nt.subdtype[1]
+            if array.shape[-len(sub):] != sub:
+                raise ValueError(
+                    f"values trailing shape {array.shape} does not match "
+                    f"subarray dtype shape {sub}"
+                )
+        else:
+            array = np.array(array, nt, copy=copy or None, order=order)
     else:
         is_scalar = np.isscalar(array)
         array = np.array(array, copy=copy or None, order=order)
