@@ -70,8 +70,9 @@ def apply_binop(op, x_vals, x_dt, y_vals, y_dt, pos=None, context_map=_EWISE_MAP
     y = st.cast_values(y_vals, y_dt, op.type2)
     x, y = jnp.broadcast_arrays(x, y) if not isinstance(x, dict) and not isinstance(y, dict) else (x, y)
     out = op._jax_func(x, y)
-    out_dt = lookup_dtype(out.dtype) if not isinstance(out, dict) else op.return_type
-    return st.cast_values(out, out_dt, op.return_type)
+    if isinstance(out, dict) or op.return_type._is_udt:
+        return out
+    return st.cast_values(out, lookup_dtype(out.dtype), op.return_type)
 
 
 def apply_unop(op, x_vals, x_dt, pos=None):
@@ -81,8 +82,9 @@ def apply_unop(op, x_vals, x_dt, pos=None):
         return st.cast_values(arr, lookup_dtype(np.int64), op.return_type)
     x = st.cast_values(x_vals, x_dt, op.type)
     out = op._jax_func(x)
-    out_dt = lookup_dtype(out.dtype) if not isinstance(out, dict) else op.return_type
-    return st.cast_values(out, out_dt, op.return_type)
+    if isinstance(out, dict) or op.return_type._is_udt:
+        return out
+    return st.cast_values(out, lookup_dtype(out.dtype), op.return_type)
 
 
 # --------------------------------------------------------------------- #

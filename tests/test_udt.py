@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import binary, dtypes, monoid, unary
+
+
+@pytest.fixture
+def point():
+    return dtypes.register_anonymous(
+        np.dtype([("x", np.float64), ("y", np.float64)]), "point_t")
+
+
+@pytest.fixture
+def v(point):
+    return gb.Vector.from_coo(
+        [0, 2], np.array([(1.0, 2.0), (3.0, 4.0)], point.np_type),
+        dtype=point, size=4)
+
+
+def test_udt_construct(v, point):
+    assert v.nvals == 2
+    assert v.dtype is point
+    elem = v[2].new().value
+    assert elem["x"] == 3.0 and elem["y"] == 4.0
+
+
+def test_udt_ewise_and_apply(v, point):
+    def addpt(a, b):
+        return {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}
+
+    op = binary.register_anonymous(addpt, is_udt=True)
+    w = v.ewise_mult(v, op).new()
+    got = w[0].new().value
+    assert got["x"] == 2.0 and got["y"] == 4.0
+    # union keeps pass-through entries
+    u = gb.Vector.from_coo([2, 3], np.array([(10.0, 10.0), (5.0, 5.0)],
+                                            point.np_type), dtype=point, size=4)
+    z = v.ewise_add(u, op).new()
+    assert z.nvals == 3
+    assert z[3].new().value["x"] == 5.0
+    assert z[2].new().value["y"] == 14.0
+
+    def scale(a):
+        return {"x": a["x"] * 2, "y": a["y"] * 2}
+
+    uop = unary.register_anonymous(scale, is_udt=True)
+    s = v.apply(uop).new()
+    assert s[2].new().value["x"] == 6.0
+
+
+def test_udt_reduce(v, point):
+    def addpt(a, b):
+        return {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}
+
+    op = binary.register_anonymous(addpt, is_udt=True)
+    mono = monoid.register_anonymous(op, 0.0)
+    r = v.reduce(mono).new()
+    assert r.value["x"] == 4.0 and r.value["y"] == 6.0
+    rany = v.reduce(monoid.any).new()
+    assert rany.value["x"] == 1.0
+
+
+def test_udt_assign_extract(v, point):
+    v[3] = np.array((9.0, 9.0), point.np_type)[()]
+    assert v[3].new().value["x"] == 9.0
+    sub = v[[0, 3]].new()
+    assert sub.nvals == 2
+    d = v.dup()
+    assert d.isequal(v)
+    del v[0]
+    assert v.nvals == 2
+
+
+def test_udt_matrix(point):
+    M = gb.Matrix.from_coo([0, 1], [1, 0],
+                           np.array([(1.0, 2.0), (3.0, 4.0)], point.np_type),
+                           dtype=point, nrows=2, ncols=2)
+    assert M.nvals == 2
+    T = M.T.new()
+    assert T[1, 0].new().value["x"] == 1.0
+    r, c, vals = M.to_coo()
+    assert vals.dtype == point.np_type
+
+
+def test_subarray_dtype():
+    vec3 = dtypes.register_anonymous(np.dtype("(3,)float64"), "vec3_t")
+    u = gb.Vector.from_coo([0, 1], np.array([[1.0, 2, 3], [4, 5, 6]]),
+                           dtype=vec3, size=3)
+    got = u[1].new().value
+    np.testing.assert_array_equal(got, [4.0, 5.0, 6.0])
+
+    def vadd(a, b):
+        return a + b
+
+    op = binary.register_anonymous(vadd, is_udt=True)
+    w = u.ewise_mult(u, op).new()
+    np.testing.assert_array_equal(w[0].new().value, [2.0, 4.0, 6.0])
+
+
+def test_udt_cannot_value_mask(v):
+    out = gb.Vector(v.dtype, 4)
+    # structural masks work on UDTs
+    out(v.S) << v
+    assert out.nvals == 2
