@@ -90,6 +90,59 @@ def format_matrix(m):
     return f"{header}\n{'-' * 40}\n{grid}"
 
 
+def _html_grid(host_vals, host_ok, dtype, nrows, ncols, is_vector=False):
+    show_r = min(nrows, _MAX_ROWS)
+    show_c = min(ncols, _MAX_COLS)
+    rows_html = []
+    head = "".join(f"<th>{j}</th>" for j in range(show_c))
+    if ncols > show_c:
+        head += "<th>...</th>"
+    rows_html.append(f"<tr><th></th>{head}</tr>")
+    for i in range(show_r):
+        cells = []
+        for j in range(show_c):
+            if is_vector:
+                ok = host_ok[j] if i == 0 else False
+                val = host_vals[j] if ok else None
+            else:
+                ok = host_ok[i, j]
+                val = host_vals[i, j] if ok else None
+            cells.append(f"<td>{_fmt_val(val, dtype) if ok else ''}</td>")
+        if ncols > show_c:
+            cells.append("<td>...</td>")
+        rows_html.append(f"<tr><th>{i}</th>{''.join(cells)}</tr>")
+    if nrows > show_r:
+        rows_html.append("<tr><th>...</th></tr>")
+    return "<table>" + "".join(rows_html) + "</table>"
+
+
+def format_matrix_html(m, mask=None):
+    name = m.name or "gb.Matrix"
+    header = (f"<b>{name}</b> — nvals={m.nvals}, nrows={m.nrows}, "
+              f"ncols={m.ncols}, dtype={m.dtype.name}, format=bitmap")
+    if m.nrows == 0 or m.ncols == 0 or m.dtype._is_udt:
+        return f"<div>{header}</div>"
+    host_vals, host_ok = m._host_arrays()
+    return f"<div>{header}{_html_grid(host_vals, host_ok, m.dtype, m.nrows, m.ncols)}</div>"
+
+
+def format_vector_html(v, mask=None):
+    name = v.name or "gb.Vector"
+    header = f"<b>{name}</b> — nvals={v.nvals}, size={v.size}, dtype={v.dtype.name}"
+    if v.size == 0 or v.dtype._is_udt:
+        return f"<div>{header}</div>"
+    host_vals, host_ok = v._host_arrays()
+    return (f"<div>{header}"
+            f"{_html_grid(host_vals, host_ok, v.dtype, 1, v.size, is_vector=True)}</div>")
+
+
+def format_scalar_html(s):
+    val = s.value
+    vs = _fmt_val(val, s.dtype) if val is not None else "(empty)"
+    return (f"<div><b>{s.name or 'gb.Scalar'}</b> — value={vs}, "
+            f"dtype={s.dtype.name}</div>")
+
+
 def format_expression(expr):
     opname = getattr(expr.op, "name", None)
     arg_names = []

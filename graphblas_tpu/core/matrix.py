@@ -114,7 +114,9 @@ class Matrix(Collection):
         return formatting.format_matrix(self)
 
     def _repr_html_(self, mask=None):
-        return f"<pre>{self!r}</pre>"
+        from . import formatting
+
+        return formatting.format_matrix_html(self, mask=mask)
 
     # ------------------------------------------------------------------ #
     # constructors

@@ -174,6 +174,11 @@ class UnaryOp(OpBase):
     _modname = "unary"
     _typed_class = TypedBuiltinUnaryOp
 
+    def __call__(self, val):
+        from .utils import _call_op_unary
+
+        return _call_op_unary(self, val)
+
     @classmethod
     def _build_builtin(cls, name, domains, func, ret_rule, positional=None):
         op = cls(name)

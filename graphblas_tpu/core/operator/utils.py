@@ -160,9 +160,15 @@ def get_semiring(monoid, binaryop, name=None):
 # ---------------------------------------------------------------------- #
 # op(...) call dispatch (reference core/operator/base.py:110 _call_op)
 def _call_op(op, left, right=None, *, left_default=None, right_default=None):
-    from ..base import BaseType
+    from ..base import BaseExpression, BaseType
+    from ..expr import AmbiguousAssignOrExtract
     from ..infix import InfixExprBase
 
+    # autocompute: expression operands materialize (reference automethods)
+    if isinstance(left, (BaseExpression, AmbiguousAssignOrExtract)):
+        left = left._get_value()
+    if isinstance(right, (BaseExpression, AmbiguousAssignOrExtract)):
+        right = right._get_value()
     if right is None and left_default is None and right_default is None:
         if isinstance(left, InfixExprBase):
             return left._apply_op(op)
@@ -213,14 +219,13 @@ def _call_op(op, left, right=None, *, left_default=None, right_default=None):
 
 
 def _call_op_unary(op, val):
-    from ..base import BaseType
+    from ..base import BaseExpression, BaseType
+    from ..expr import AmbiguousAssignOrExtract, InfixExprBase
 
+    if isinstance(val, (BaseExpression, AmbiguousAssignOrExtract, InfixExprBase)):
+        val = val._get_value()
     if isinstance(val, BaseType):
         return val.apply(op)
-    from ..infix import InfixExprBase
-
-    if isinstance(val, InfixExprBase):
-        return val._to_collection().apply(op)
     raise TypeError(f"Bad type when calling {op!r}: {type(val)}")
 
 

@@ -281,7 +281,9 @@ class Scalar(BaseType):
         return formatting.format_scalar(self)
 
     def _repr_html_(self):
-        return f"<pre>{self!r}</pre>"
+        from . import formatting
+
+        return formatting.format_scalar_html(self)
 
     def __bool__(self):
         if self._is_empty:

@@ -106,7 +106,9 @@ class Vector(Collection):
         return formatting.format_vector(self)
 
     def _repr_html_(self, mask=None):
-        return f"<pre>{self!r}</pre>"
+        from . import formatting
+
+        return formatting.format_vector_html(self, mask=mask)
 
     def __sizeof__(self):
         base = object.__sizeof__(self)

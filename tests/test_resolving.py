@@ -1,0 +1,97 @@
+"""Ambiguous assign-or-extract + update-protocol semantics
+(reference tests/test_resolving.py)."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Vector, binary, dtypes
+
+from .helpers import make_A, make_v
+
+
+def test_extract_context(make=make_v):
+    v = make()
+    aae = v[[1, 3]]
+    # value context: extract
+    r = aae.new()
+    assert r.size == 2
+    assert r.to_dict() == {0: 1, 1: 1}
+    # dup is an alias of new
+    assert aae.dup().isequal(r)
+
+
+def test_assign_context():
+    v = make_v()
+    v[[1, 3]] << Vector.from_coo([0, 1], [7, 8], size=2)
+    assert v.to_dict()[1] == 7 and v.to_dict()[3] == 8
+
+
+def test_update_into_collection_extract():
+    v = make_v()
+    out = Vector(dtypes.INT64, 2)
+    out << v[[1, 4]]
+    assert out.to_dict() == {0: 1, 1: 2}
+    out2 = Vector(dtypes.INT64, 2)
+    out2(accum=binary.plus) << v[[1, 4]]
+    out2(accum=binary.plus) << v[[1, 4]]
+    assert out2.to_dict() == {0: 2, 1: 4}
+
+
+def test_autocompute_on_aae():
+    v = make_v()
+    assert v[[1, 3]].nvals == 2
+    assert v[4].new().value == 2
+    assert int(v[4]) == 2
+    assert v[4] == 2
+    assert v[0].new().value is None
+
+
+def test_masked_extract():
+    v = make_v()
+    m = Vector.from_coo([0], [True], size=2)
+    r = v[[1, 3]].new(mask=m.S)
+    assert r.to_dict() == {0: 1}
+
+
+def test_single_element_fast_paths():
+    A = make_A()
+    s = A[6, 3].new()
+    assert s.value == 7
+    A[6, 3] = 9
+    assert A[6, 3].new().value == 9
+    # scalar-valued new with dtype
+    s2 = A[6, 3].new(dtype="FP64")
+    assert s2.dtype == dtypes.FP64 and s2.value == 9.0
+
+
+def test_updater_getitem_assign():
+    # C(mask)[idx] << value: mask in C-space
+    v = make_v()
+    m = Vector.from_coo([1], [True], size=7)
+    v(m.S)[[1, 3]] = 50
+    assert v.to_dict()[1] == 50
+    assert v.to_dict()[3] == 1  # masked out (mask false at 3)
+
+
+def test_input_mask_restricted_to_extract():
+    v = make_v()
+    m = Vector.from_coo([1], [True], size=7)
+    with pytest.raises(TypeError, match="input_mask"):
+        v(input_mask=m.S) << v.ewise_add(v, binary.plus)
+    r = Vector(dtypes.INT64, 7)
+    r(input_mask=m.S) << v[:]
+    assert r.to_dict() == {1: 1}
+
+
+def test_mask_and_input_mask_conflict():
+    v = make_v()
+    m = Vector.from_coo([1], [True], size=7)
+    with pytest.raises(TypeError, match="both"):
+        v(mask=m.S, input_mask=m.S)
+
+
+def test_expression_as_value_in_assign():
+    v = make_v()
+    v[[0, 1]] = (v[[1, 3]] + 10).new()
+    assert v.to_dict()[0] == 11 and v.to_dict()[1] == 11
