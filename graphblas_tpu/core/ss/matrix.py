@@ -72,7 +72,12 @@ class MatrixSS:
 
     # ------------------------------------------------------------------ #
     def export(self, format=None, *, sort=True, give_ownership=False, raw=False):
-        """Export as plain dicts of numpy arrays (Appendix C schemas)."""
+        """Export as plain dicts of numpy arrays (Appendix C schemas).
+
+        ``is_iso`` is reported accurately, but values are always exported
+        untrimmed (the reference trims iso exports to one element; the import
+        path here accepts both forms).
+        """
         p = self._parent
         if format is None or format in ("rowwise",):
             format = "csr"
@@ -80,60 +85,79 @@ class MatrixSS:
             format = "csc"
         format = format.lower()
         vals, ok = p._host_arrays()
+        iso = self.is_iso
         if format == "csr":
             indptr, cols, v = p.to_csr()
             rv = {
                 "indptr": indptr, "col_indices": cols, "values": v,
                 "sorted_cols": True, "nrows": p.nrows, "ncols": p.ncols,
-                "is_iso": False, "format": "csr",
+                "is_iso": iso, "format": "csr",
             }
         elif format == "csc":
             indptr, rows, v = p.to_csc()
             rv = {
                 "indptr": indptr, "row_indices": rows, "values": v,
                 "sorted_rows": True, "nrows": p.nrows, "ncols": p.ncols,
-                "is_iso": False, "format": "csc",
+                "is_iso": iso, "format": "csc",
             }
         elif format == "hypercsr":
             rows, indptr, cols, v = p.to_dcsr()
             rv = {
                 "rows": rows, "indptr": indptr, "col_indices": cols, "values": v,
                 "sorted_cols": True, "nrows": p.nrows, "ncols": p.ncols,
-                "is_iso": False, "format": "hypercsr",
+                "is_iso": iso, "format": "hypercsr",
             }
+            if raw:
+                rv["nvec"] = len(rows)
         elif format == "hypercsc":
             cols, indptr, rows, v = p.to_dcsc()
             rv = {
                 "cols": cols, "indptr": indptr, "row_indices": rows, "values": v,
                 "sorted_rows": True, "nrows": p.nrows, "ncols": p.ncols,
-                "is_iso": False, "format": "hypercsc",
+                "is_iso": iso, "format": "hypercsc",
             }
+            if raw:
+                rv["nvec"] = len(cols)
         elif format in ("bitmapr", "bitmapc"):
             order = "C" if format == "bitmapr" else "F"
             rv = {
                 "bitmap": np.array(ok, order=order),
                 "values": np.array(vals, order=order),
                 "nvals": int(ok.sum()), "nrows": p.nrows, "ncols": p.ncols,
-                "is_iso": False, "format": format,
+                "is_iso": iso, "format": format,
             }
         elif format in ("fullr", "fullc"):
             if not ok.all():
                 raise InvalidValue(f"Matrix is not full; cannot export as {format}")
             order = "C" if format == "fullr" else "F"
             rv = {"values": np.array(vals, order=order), "nrows": p.nrows,
-                  "ncols": p.ncols, "is_iso": False, "format": format}
+                  "ncols": p.ncols, "is_iso": iso, "format": format}
         elif format in ("coor", "cooc", "coo"):
             r, c, v = p.to_coo()
+            if format == "cooc":
+                order = np.lexsort((r, c))
+                r, c, v = r[order], c[order], v[order]
             rv = {"rows": r, "cols": c, "values": v, "nrows": p.nrows,
-                  "ncols": p.ncols, "sorted_rows": True, "sorted_cols": format == "cooc",
-                  "is_iso": False, "format": format}
+                  "ncols": p.ncols, "sorted_rows": format != "cooc",
+                  "sorted_cols": format == "cooc",
+                  "is_iso": iso, "format": format}
         else:
             raise ValueError(f"Invalid format: {format}")
         if give_ownership:
             p.clear()
         return rv
 
-    unpack = export
+    def unpack(self, format=None, *, sort=True, raw=False):
+        """Like export(give_ownership=True): parent is left valid-but-empty
+        (reference core/ss/matrix.py:731-737)."""
+        return self.export(format, sort=sort, give_ownership=True, raw=raw)
+
+    def unpack_hyperhash(self, *, compute=False, name=None):
+        """Reference core/ss/matrix.py:3664. The dense-region engine keeps no
+        hyper-hash acceleration structure, so there is never one to unpack;
+        returns None exactly like the reference does for a matrix without a
+        hyper-hash (compute=False) or a non-hypersparse matrix."""
+        return None
 
     @classmethod
     def import_any(cls, **kwargs):
@@ -159,21 +183,41 @@ class MatrixSS:
         fmt = fmt.lower()
         nrows = kwargs.get("nrows")
         ncols = kwargs.get("ncols")
-        values = kwargs.get("values")
         dtype = kwargs.get("dtype")
+        is_iso = bool(kwargs.get("is_iso", False))
+
+        def _values(n):
+            # iso blobs (reference-style) may carry a single stored value
+            v = np.asarray(kwargs["values"])
+            if is_iso and v.size >= 1 and (v.ndim == 0 or len(v) != n):
+                v = np.broadcast_to(v.reshape(-1)[:1], (n,) + v.shape[1:])
+            return v
+
         if fmt == "csr":
-            return Matrix.from_csr(kwargs["indptr"], kwargs["col_indices"], values,
+            indptr = np.asarray(kwargs["indptr"], np.int64)
+            return Matrix.from_csr(indptr, kwargs["col_indices"],
+                                   _values(int(indptr[-1])),
                                    dtype, nrows=nrows, ncols=ncols)
         if fmt == "csc":
-            return Matrix.from_csc(kwargs["indptr"], kwargs["row_indices"], values,
+            indptr = np.asarray(kwargs["indptr"], np.int64)
+            return Matrix.from_csc(indptr, kwargs["row_indices"],
+                                   _values(int(indptr[-1])),
                                    dtype, nrows=nrows, ncols=ncols)
         if fmt == "hypercsr":
-            return Matrix.from_dcsr(kwargs["rows"], kwargs["indptr"],
-                                    kwargs["col_indices"], values, dtype,
+            rows = np.asarray(kwargs["rows"], np.int64)
+            indptr = np.asarray(kwargs["indptr"], np.int64)
+            nvec = int(kwargs.get("nvec", len(rows)))
+            return Matrix.from_dcsr(rows[:nvec], indptr[: nvec + 1],
+                                    kwargs["col_indices"],
+                                    _values(int(indptr[nvec])), dtype,
                                     nrows=nrows, ncols=ncols)
         if fmt == "hypercsc":
-            return Matrix.from_dcsc(kwargs["cols"], kwargs["indptr"],
-                                    kwargs["row_indices"], values, dtype,
+            cols = np.asarray(kwargs["cols"], np.int64)
+            indptr = np.asarray(kwargs["indptr"], np.int64)
+            nvec = int(kwargs.get("nvec", len(cols)))
+            return Matrix.from_dcsc(cols[:nvec], indptr[: nvec + 1],
+                                    kwargs["row_indices"],
+                                    _values(int(indptr[nvec])), dtype,
                                     nrows=nrows, ncols=ncols)
         if fmt in ("bitmapr", "bitmapc"):
             import jax.numpy as jnp
@@ -181,25 +225,89 @@ class MatrixSS:
             from ..engine import store as st
 
             bitmap = np.asarray(kwargs["bitmap"], bool)
-            vals = np.asarray(values)
+            vals = np.asarray(kwargs["values"])
             if bitmap.ndim == 1:
                 bitmap = bitmap.reshape(nrows, ncols)
-                vals = vals.reshape(nrows, ncols)
+            if is_iso and vals.shape != bitmap.shape:
+                vals = np.broadcast_to(vals.reshape(-1)[:1], bitmap.shape)
+            elif vals.ndim == 1:
+                vals = vals.reshape(bitmap.shape)
             dt = lookup_dtype(dtype) if dtype is not None else lookup_dtype(vals.dtype)
             m = Matrix(dt, bitmap.shape[0], bitmap.shape[1])
-            m._set_store(st.np_values_to_device(vals.astype(dt.np_type), dt),
+            m._set_store(st.np_values_to_device(np.ascontiguousarray(vals).astype(dt.np_type), dt),
                          jnp.asarray(bitmap))
             return m
         if fmt in ("fullr", "fullc"):
-            return Matrix.from_dense(np.asarray(values), dtype=dtype)
+            vals = np.asarray(kwargs["values"])
+            if is_iso and (nrows is not None and vals.shape != (nrows, ncols)):
+                vals = np.broadcast_to(vals.reshape(-1)[:1], (nrows, ncols))
+            elif vals.ndim == 1 and nrows is not None:
+                vals = vals.reshape(nrows, ncols)
+            return Matrix.from_dense(np.ascontiguousarray(vals), dtype=dtype)
         if fmt in ("coor", "cooc", "coo"):
-            return Matrix.from_coo(np.asarray(kwargs["rows"], np.int64),
-                                   np.asarray(kwargs["cols"], np.int64), values,
+            rows = np.asarray(kwargs["rows"], np.int64)
+            return Matrix.from_coo(rows, np.asarray(kwargs["cols"], np.int64),
+                                   _values(len(rows)),
                                    dtype, nrows=nrows, ncols=ncols)
         raise ValueError(f"Invalid format: {fmt}")
 
-    import_csr = import_csc = import_bitmapr = import_fullr = import_any
-    pack_any = import_any
+    # per-format named importers (reference core/ss/matrix.py:1165-3220);
+    # the dict-schema dispatcher handles every format, so the named variants
+    # pin the format and share it
+    def _make_importer(fmt):  # noqa: N805 — used only at class-build time
+        def _import(cls, **kwargs):
+            kwargs["format"] = fmt
+            return MatrixSS.import_any.__func__(cls, **kwargs)
+
+        _import.__name__ = f"import_{fmt}"
+        _import.__doc__ = f"Import a Matrix from the `{fmt}` field schema (Appendix C)."
+        return classmethod(_import)
+
+    import_csr = _make_importer("csr")
+    import_csc = _make_importer("csc")
+    import_hypercsr = _make_importer("hypercsr")
+    import_hypercsc = _make_importer("hypercsc")
+    import_bitmapr = _make_importer("bitmapr")
+    import_bitmapc = _make_importer("bitmapc")
+    import_fullr = _make_importer("fullr")
+    import_fullc = _make_importer("fullc")
+    import_coor = _make_importer("coor")
+    import_cooc = _make_importer("cooc")
+    import_coo = _make_importer("coo")
+    del _make_importer
+
+    def pack_any(self, **kwargs):
+        """Repopulate the parent in place from a field-schema dict
+        (reference pack_* leave the shell valid; inverse of unpack)."""
+        p = self._parent
+        kwargs.setdefault("nrows", p.nrows)
+        kwargs.setdefault("ncols", p.ncols)
+        kwargs.setdefault("dtype", p.dtype)
+        m = self.import_any(**kwargs)
+        p._set_store(m._vals, m._valid)
+        p._nrows, p._ncols = m.nrows, m.ncols
+
+    def _make_packer(fmt):  # noqa: N805
+        def _pack(self, **kwargs):
+            kwargs["format"] = fmt
+            return MatrixSS.pack_any(self, **kwargs)
+
+        _pack.__name__ = f"pack_{fmt}"
+        _pack.__doc__ = f"Repopulate the parent from the `{fmt}` field schema."
+        return _pack
+
+    pack_csr = _make_packer("csr")
+    pack_csc = _make_packer("csc")
+    pack_hypercsr = _make_packer("hypercsr")
+    pack_hypercsc = _make_packer("hypercsc")
+    pack_bitmapr = _make_packer("bitmapr")
+    pack_bitmapc = _make_packer("bitmapc")
+    pack_fullr = _make_packer("fullr")
+    pack_fullc = _make_packer("fullc")
+    pack_coor = _make_packer("coor")
+    pack_cooc = _make_packer("cooc")
+    pack_coo = _make_packer("coo")
+    del _make_packer
 
     # ------------------------------------------------------------------ #
     def split(self, chunks, *, name=None):
@@ -222,6 +330,18 @@ class MatrixSS:
             tiles.append(row_tiles)
             r0 += rs
         return tiles
+
+    def concat(self, tiles):
+        """Fill the parent by concatenating a 2-D grid of Matrix tiles
+        (reference core/ss/matrix.py:363); inverse of split()."""
+        from ...ss import concat as _concat
+
+        p = self._parent
+        m = _concat(tiles, dtype=p.dtype)
+        if m.shape != p.shape:
+            raise ValueError(
+                f"tiles concatenate to shape {m.shape}, expected {p.shape}")
+        p._set_store(m._vals, m._valid)
 
     def build_diag(self, vector, k=0):
         """Reference core/ss/matrix.py:252."""

@@ -51,18 +51,19 @@ class VectorSS:
             format = "sparse"
         format = format.lower()
         vals, ok = p._host_arrays()
+        iso = self.is_iso
         if format == "sparse":
             idx, v = p.to_coo()
             rv = {"indices": idx, "values": v, "sorted_index": True,
-                  "size": p.size, "is_iso": False, "format": "sparse"}
+                  "size": p.size, "is_iso": iso, "format": "sparse"}
         elif format == "bitmap":
             rv = {"bitmap": ok.copy(), "values": vals.copy(),
-                  "nvals": int(ok.sum()), "size": p.size, "is_iso": False,
+                  "nvals": int(ok.sum()), "size": p.size, "is_iso": iso,
                   "format": "bitmap"}
         elif format == "full":
             if not ok.all():
                 raise InvalidValue("Vector is not full; cannot export as full")
-            rv = {"values": vals.copy(), "size": p.size, "is_iso": False,
+            rv = {"values": vals.copy(), "size": p.size, "is_iso": iso,
                   "format": "full"}
         else:
             raise ValueError(f"Invalid format: {format}")
@@ -70,7 +71,9 @@ class VectorSS:
             p.clear()
         return rv
 
-    unpack = export
+    def unpack(self, format=None, *, sort=True, raw=False):
+        """Like export(give_ownership=True): parent left valid-but-empty."""
+        return self.export(format, sort=sort, give_ownership=True, raw=raw)
 
     @classmethod
     def import_any(cls, **kwargs):
@@ -85,30 +88,74 @@ class VectorSS:
             else:
                 fmt = "full"
         fmt = fmt.lower()
-        values = kwargs.get("values")
         dtype = kwargs.get("dtype")
         size = kwargs.get("size")
+        is_iso = bool(kwargs.get("is_iso", False))
+
+        def _values(n):
+            v = np.asarray(kwargs["values"])
+            if is_iso and v.size >= 1 and (v.ndim == 0 or len(v) != n):
+                v = np.broadcast_to(v.reshape(-1)[:1], (n,) + v.shape[1:])
+            return v
+
         if fmt == "sparse":
-            return Vector.from_coo(np.asarray(kwargs["indices"], np.int64),
-                                   values, dtype, size=size)
+            idx = np.asarray(kwargs["indices"], np.int64)
+            return Vector.from_coo(idx, _values(len(idx)), dtype, size=size)
         if fmt == "bitmap":
             import jax.numpy as jnp
 
             from ..engine import store as st
 
             bitmap = np.asarray(kwargs["bitmap"], bool)
-            vals = np.asarray(values)
+            vals = _values(bitmap.shape[0])
             dt = lookup_dtype(dtype) if dtype is not None else lookup_dtype(vals.dtype)
             v = Vector(dt, bitmap.shape[0])
             v._set_store(st.np_values_to_device(vals.astype(dt.np_type), dt),
                          jnp.asarray(bitmap))
             return v
         if fmt == "full":
-            return Vector.from_dense(np.asarray(values), dtype=dtype)
+            n = size
+            if n is None:
+                n = len(np.asarray(kwargs["values"]).reshape(-1))
+            return Vector.from_dense(np.ascontiguousarray(_values(n)), dtype=dtype)
         raise ValueError(f"Invalid format: {fmt}")
 
-    import_sparse = import_bitmap = import_full = import_any
-    pack_any = import_any
+    def _make_importer(fmt):  # noqa: N805 — class-build-time helper
+        def _import(cls, **kwargs):
+            kwargs["format"] = fmt
+            return VectorSS.import_any.__func__(cls, **kwargs)
+
+        _import.__name__ = f"import_{fmt}"
+        _import.__doc__ = f"Import a Vector from the `{fmt}` field schema (Appendix C)."
+        return classmethod(_import)
+
+    import_sparse = _make_importer("sparse")
+    import_bitmap = _make_importer("bitmap")
+    import_full = _make_importer("full")
+    del _make_importer
+
+    def pack_any(self, **kwargs):
+        """Repopulate the parent in place from a field-schema dict."""
+        p = self._parent
+        kwargs.setdefault("size", p.size)
+        kwargs.setdefault("dtype", p.dtype)
+        v = self.import_any(**kwargs)
+        p._set_store(v._vals, v._valid)
+        p._size = v.size
+
+    def _make_packer(fmt):  # noqa: N805
+        def _pack(self, **kwargs):
+            kwargs["format"] = fmt
+            return VectorSS.pack_any(self, **kwargs)
+
+        _pack.__name__ = f"pack_{fmt}"
+        _pack.__doc__ = f"Repopulate the parent from the `{fmt}` field schema."
+        return _pack
+
+    pack_sparse = _make_packer("sparse")
+    pack_bitmap = _make_packer("bitmap")
+    pack_full = _make_packer("full")
+    del _make_packer
 
     # ------------------------------------------------------------------ #
     def split(self, chunks, *, name=None):
@@ -123,6 +170,18 @@ class VectorSS:
                                             p._valid[i0:i0 + s]))
             i0 += s
         return tiles
+
+    def concat(self, tiles):
+        """Fill the parent by concatenating a list of Vector tiles; inverse
+        of split() (reference core/ss/vector.py)."""
+        from ...ss import concat as _concat
+
+        p = self._parent
+        v = _concat(list(tiles), dtype=p.dtype)
+        if v.size != p.size:
+            raise ValueError(
+                f"tiles concatenate to size {v.size}, expected {p.size}")
+        p._set_store(v._vals, v._valid)
 
     def build_scalar(self, indices, value):
         indices = np.asarray(indices, np.int64)

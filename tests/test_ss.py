@@ -176,3 +176,91 @@ def test_context():
         assert v.reduce(monoid.plus).new().value == 4
     ctx2 = Context(engage=False)
     assert not ctx2._engaged
+
+
+# --------------------------------------------------------------------- #
+# expanded format surface: named importers, pack/unpack, iso blobs, concat
+# (reference core/ss/matrix.py:1165-3220, 363)
+
+def test_named_importers_matrix(A):
+    for fmt in ["csr", "csc", "hypercsr", "hypercsc", "bitmapr", "bitmapc",
+                "coor", "cooc", "coo"]:
+        d = A.ss.export(fmt)
+        d.pop("format")
+        B = getattr(gb.Matrix.ss, f"import_{fmt}")(**d)
+        assert B.isequal(A), fmt
+
+
+def test_named_importers_vector(v):
+    for fmt in ["sparse", "bitmap"]:
+        d = v.ss.export(fmt)
+        d.pop("format")
+        w = getattr(gb.Vector.ss, f"import_{fmt}")(**d)
+        assert w.isequal(v), fmt
+
+
+def test_unpack_pack_roundtrip(A):
+    B = A.dup()
+    d = B.ss.unpack("csr")
+    assert B.nvals == 0  # shell left valid-but-empty
+    B.ss.pack_csr(**{k: v for k, v in d.items() if k != "format"})
+    assert B.isequal(A)
+    # pack_any with format in dict
+    C = A.dup()
+    d2 = C.ss.unpack("hypercsr")
+    C.ss.pack_any(**d2)
+    assert C.isequal(A)
+
+
+def test_vector_unpack_pack(v):
+    w = v.dup()
+    d = w.ss.unpack("sparse")
+    assert w.nvals == 0
+    w.ss.pack_sparse(**{k: x for k, x in d.items() if k != "format"})
+    assert w.isequal(v)
+
+
+def test_import_iso_blob():
+    # reference-style iso blob: single stored value broadcast over structure
+    B = gb.Matrix.ss.import_csr(
+        indptr=np.array([0, 2, 3]), col_indices=np.array([0, 1, 1]),
+        values=np.array([7]), is_iso=True, nrows=2, ncols=2, dtype="INT64")
+    expected = gb.Matrix.from_coo([0, 0, 1], [0, 1, 1], [7, 7, 7],
+                                  nrows=2, ncols=2)
+    assert B.isequal(expected)
+    w = gb.Vector.ss.import_sparse(
+        indices=np.array([1, 3]), values=np.array([2.5]), is_iso=True, size=5)
+    assert w.isequal(gb.Vector.from_coo([1, 3], [2.5, 2.5], size=5))
+
+
+def test_export_reports_is_iso():
+    M = gb.Matrix.from_scalar(2, 3, 4)
+    assert M.ss.export("csr")["is_iso"]
+    A = make_A()
+    assert not A.ss.export("csr")["is_iso"]
+
+
+def test_cooc_export_sorted_by_cols(A):
+    d = A.ss.export("cooc")
+    assert d["sorted_cols"] and not d["sorted_rows"]
+    assert (np.diff(d["cols"]) >= 0).all()
+    B = gb.Matrix.ss.import_cooc(**{k: v for k, v in d.items() if k != "format"})
+    assert B.isequal(A)
+
+
+def test_matrix_ss_concat_method(A):
+    tiles = A.ss.split([4, None])
+    B = gb.Matrix(A.dtype, *A.shape)
+    B.ss.concat(tiles)
+    assert B.isequal(A)
+
+
+def test_vector_ss_concat_method(v):
+    tiles = v.ss.split(3)
+    w = gb.Vector(v.dtype, v.size)
+    w.ss.concat(tiles)
+    assert w.isequal(v)
+
+
+def test_unpack_hyperhash_none(A):
+    assert A.ss.unpack_hyperhash() is None
