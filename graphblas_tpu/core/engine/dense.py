@@ -240,6 +240,23 @@ def reduce_agg(vals, valid, spec, in_dt, ret_dt, axis):
     x = vals
     out_valid = jnp.any(valid, axis=axis)
     count = jnp.sum(valid, axis=axis).astype(jnp.float64)
+    if spec.custom is not None:
+        res = spec.custom(vals, valid, axis)
+        return st.cast_values(res, lookup_dtype(res.dtype), ret_dt), out_valid
+    if spec.composite is not None:
+        # user-defined composite: children evaluate on the same input, then
+        # finalize combines the child accumulator arrays (+ count)
+        child_accs = []
+        for child in spec.composite:
+            child_ret = child.ret_rule
+            if child_ret is None:
+                child_ret = in_dt
+            elif callable(child_ret):
+                child_ret = child_ret(in_dt)
+            acc, _ = reduce_agg(vals, valid, child, in_dt, child_ret, axis)
+            child_accs.append(acc)
+        res = spec.finalize_fn(*child_accs, count)
+        return st.cast_values(res, lookup_dtype(res.dtype), ret_dt), out_valid
     if spec.index_kind is not None:
         return _reduce_agg_index(vals, valid, spec, in_dt, ret_dt, axis), out_valid
     if name == "minmax":  # peak_to_peak
@@ -260,7 +277,7 @@ def reduce_agg(vals, valid, spec, in_dt, ret_dt, axis):
         return res.astype(ret_dt.np_type), out_valid
     mapped = spec.map_fn(st.cast_values(vals, in_dt, in_dt))
     mdt = lookup_dtype(mapped.dtype)
-    mono = getattr(monoid_ns, name)[mdt]
+    mono = (getattr(monoid_ns, name) if isinstance(name, str) else name)[mdt]
     acc, _ = reduce_monoid(mapped, valid, mono, mdt, axis)
     if spec.finalize_fn is not None:
         acc = spec.finalize_fn(acc, count)

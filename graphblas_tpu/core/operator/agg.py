@@ -32,13 +32,21 @@ def _float_ret(dt):
 
 
 class AggSpec:
-    """map(values)->mapped; monoid-combine; finalize(acc, count)->result."""
+    """map(values)->mapped; monoid-combine; finalize(acc, count)->result.
+
+    monoid_name may be a builtin monoid name (str) or a Monoid object
+    (user-defined aggregators).  composite, when set, is a list of child
+    AggSpecs evaluated on the same input; finalize_fn then receives the
+    child accumulators (in order) followed by the element count.
+    """
 
     __slots__ = ("name", "map_fn", "monoid_name", "finalize_fn", "ret_rule",
-                 "needs_count", "index_kind", "types_domain")
+                 "needs_count", "index_kind", "types_domain", "composite",
+                 "custom")
 
     def __init__(self, name, map_fn, monoid_name, finalize_fn=None, *,
-                 ret_rule=None, needs_count=False, index_kind=None, types_domain="all"):
+                 ret_rule=None, needs_count=False, index_kind=None,
+                 types_domain="all", composite=None, custom=None):
         self.name = name
         self.map_fn = map_fn
         self.monoid_name = monoid_name
@@ -49,6 +57,8 @@ class AggSpec:
         #             "first_index" | "last_index"
         self.index_kind = index_kind
         self.types_domain = types_domain
+        self.composite = composite
+        self.custom = custom
 
 
 def _ident(x):
@@ -131,6 +141,128 @@ _spec("last_index", _ident, "max", ret_rule=_dt.INT64, index_kind="last_index")
 
 _SS_ONLY = frozenset(["argmin", "argmax", "first", "last", "first_index", "last_index"])
 
+
+def _spec_from_parts(name, *, initval=None, monoid=None, semiring=None,
+                     switch=False, semiring2=None, applybegin=None,
+                     finalize=None, composite=None, custom=None, types=None,
+                     any_dtype=None):
+    """Compile reference-style declarative parts into an AggSpec
+    (reference core/operator/agg.py:30-140; see Aggregator docstring)."""
+    import inspect
+
+    from .utils import get_typed_op
+    from .base import find_opclass
+
+    if custom is not None:
+        return AggSpec(name, _ident, "plus", custom=custom)
+
+    # return-type rule from any_dtype
+    if any_dtype is True or any_dtype is None:
+        ret_rule = None
+    else:
+        ret_rule = lookup_dtype(any_dtype)
+
+    def _unary_jax(op):
+        op_obj, oc = find_opclass(op)
+        if oc == "UnaryOp":
+            def f(x):
+                typed = get_typed_op(op_obj, lookup_dtype(x.dtype), kind="unary")
+                return typed._jax_func(x)
+
+            f._op = op_obj
+            return f
+        if callable(op):
+            return op
+        raise TypeError(f"expected a UnaryOp or callable; got {op!r}")
+
+    if composite is not None:
+        children = []
+        for child in composite:
+            child_obj, oc = find_opclass(child)
+            if oc != "Aggregator":
+                raise TypeError(f"composite children must be Aggregators; got {child!r}")
+            children.append(child_obj.spec)
+        if finalize is None:
+            raise TypeError("composite aggregators require finalize")
+        fin = finalize
+        nparams = None
+        try:
+            nparams = len(inspect.signature(fin).parameters)
+        except (TypeError, ValueError):
+            pass
+        if nparams is not None and nparams == len(children):
+            fin_fn = lambda *args: fin(*args[:-1])  # noqa: E731 — drop count
+        else:
+            fin_fn = fin
+        return AggSpec(name, _ident, "plus", fin_fn, ret_rule=ret_rule,
+                       needs_count=True, composite=children)
+
+    pre = _unary_jax(applybegin) if applybegin is not None else None
+
+    if monoid is not None:
+        mono_obj, oc = find_opclass(monoid)
+        if oc == "Semiring":  # e.g. Aggregator('logaddexp', monoid=semiring.numpy.logaddexp)
+            mono_obj = mono_obj.monoid
+            oc = "Monoid"
+        if oc != "Monoid":
+            raise TypeError(f"monoid= must be a Monoid; got {monoid!r}")
+        map_fn = pre if pre is not None else _ident
+        spec = AggSpec(name, map_fn, mono_obj, ret_rule=ret_rule)
+        return spec
+
+    if semiring is None:
+        raise TypeError(
+            "Aggregator requires one of monoid=, semiring=, composite=, custom=")
+
+    ring_obj, oc = find_opclass(semiring)
+    if oc != "Semiring":
+        raise TypeError(f"semiring= must be a Semiring; got {semiring!r}")
+    mult = ring_obj.binaryop
+    mono_obj = ring_obj.monoid
+    init = False if initval is None else initval
+    init_dt = lookup_dtype(np.asarray(init).dtype)
+
+    def map_fn(x):
+        y = pre(x) if pre is not None else x
+        xdt = lookup_dtype(y.dtype)
+        typed = (get_typed_op(mult, init_dt, xdt, kind="binary") if switch
+                 else get_typed_op(mult, xdt, init_dt, kind="binary"))
+        iv = jnp.asarray(init, typed.type.np_type)
+        xv = y.astype(typed.type.np_type)
+        return typed._jax_func(iv, xv) if switch else typed._jax_func(xv, iv)
+
+    fin_fn = None
+    if finalize is not None:
+        fu = _unary_jax(finalize)
+        nparams = None
+        try:
+            nparams = len(inspect.signature(finalize).parameters)
+        except (TypeError, ValueError):
+            pass
+        if hasattr(fu, "_op") or nparams == 1:
+            fin_fn = lambda acc, cnt: fu(acc)  # noqa: E731
+        else:
+            fin_fn = fu
+
+    if ret_rule is None:
+        def ret_rule(dt):  # noqa: F811 — infer through the op chain
+            try:
+                d = dt
+                if pre is not None and hasattr(pre, "_op"):
+                    d = get_typed_op(pre._op, d, kind="unary").return_type
+                typed_mult = (get_typed_op(mult, init_dt, d, kind="binary")
+                              if switch else
+                              get_typed_op(mult, d, init_dt, kind="binary"))
+                d = typed_mult.return_type
+                d = get_typed_op(mono_obj, d, kind="monoid").return_type
+                if fin_fn is not None and hasattr(finalize, "name"):
+                    d = get_typed_op(finalize, d, kind="unary").return_type
+                return d
+            except Exception:
+                return dt
+
+    return AggSpec(name, map_fn, mono_obj, fin_fn, ret_rule=ret_rule)
+
 _UINTS = [_dt.UINT8, _dt.UINT16, _dt.UINT32, _dt.UINT64]
 _ALL13 = [
     _dt.BOOL, _dt.INT8, _dt.INT16, _dt.INT32, _dt.INT64,
@@ -171,11 +303,45 @@ class TypedAggregator:
 
 
 class Aggregator:
+    """An aggregator: a reduction beyond plain monoids.
+
+    Two construction modes:
+
+    - internal: ``Aggregator(name, spec)`` with a prebuilt AggSpec.
+    - reference-compatible (reference core/operator/agg.py:30-140):
+      ``Aggregator(name, monoid=..., semiring=..., initval=..., switch=...,
+      semiring2=..., applybegin=..., finalize=..., composite=..., types=...,
+      any_dtype=...)``.  The declarative parts are compiled into a fused
+      map -> monoid-combine -> finalize AggSpec:
+
+      * ``monoid`` — reduce with that monoid (or a semiring's monoid).
+      * ``semiring`` + ``initval`` (default False) + ``switch`` — each stored
+        element x is mapped via ``mult(x, initval)`` (``mult(initval, x)``
+        when switch), then combined with the semiring's monoid.  This is the
+        jax-native equivalent of the reference's ``semiring(A @ dense_init)``
+        recipe; ``semiring2`` (the vector-path semiring) is accepted and
+        ignored because both paths share one kernel here.
+      * ``applybegin`` — UnaryOp applied to elements first.
+      * ``finalize`` — UnaryOp (or jax-traceable f(acc) / f(acc, count))
+        applied to the accumulator.
+      * ``composite=[child aggregators]`` — children are evaluated on the
+        same input; ``finalize`` then receives the child accumulator arrays
+        in order (followed by the count if it accepts it).  NOTE: the
+        reference's collection-expression finalize functions are not
+        supported — pass a jax-traceable function of arrays instead.
+      * ``any_dtype`` — a DataType fixing the return type, or True to return
+        the input type for any input.
+    """
+
     __slots__ = "name", "spec", "_typed_ops", "_anonymous", "__weakref__"
     opclass = "Aggregator"
 
-    def __init__(self, name, spec, *, anonymous=False):
+    def __init__(self, name, spec=None, *, anonymous=False, **kwargs):
         self.name = name
+        if spec is None:
+            spec = _spec_from_parts(name, **kwargs)
+        elif kwargs:
+            raise TypeError("cannot pass both a spec and declarative parts")
         self.spec = spec
         self._typed_ops = {}
         self._anonymous = anonymous
@@ -203,6 +369,10 @@ class Aggregator:
         spec = self.spec
         if spec.types_domain == "uint":
             domain = _UINTS
+        elif not isinstance(spec.monoid_name, str):
+            # user-defined aggregator: domain follows its monoid
+            mono = spec.monoid_name
+            domain = [dt for dt in _ALL13 if dt in mono] or _ALL13
         elif spec.monoid_name in ("min", "max", "minmax", "var_p", "var_s", "std_p", "std_s"):
             domain = _D11
         else:

@@ -101,3 +101,68 @@ def test_agg_callable():
     assert agg.sum(v).new().value == 6
     A = gb.Matrix.from_dense(np.array([[1, 2], [3, 4]]))
     assert agg.sum(A).new().value == 10
+
+
+# --------------------------------------------------------------------- #
+# reference-compatible Aggregator constructor (reference agg.py:30-140)
+
+def test_custom_aggregator_monoid():
+    from graphblas_tpu.core.operator.agg import Aggregator
+
+    my_sum = Aggregator("my_sum", monoid=gb.monoid.plus)
+    v = gb.Vector.from_coo([0, 1, 3], [1.0, 2.0, 3.0], size=5)
+    assert v.reduce(my_sum).new().value == 6.0
+
+
+def test_custom_aggregator_semiring_initval():
+    from graphblas_tpu.core.operator.agg import Aggregator
+
+    my_sq = Aggregator("my_sq", initval=2, semiring=gb.semiring.plus_pow,
+                       semiring2=gb.semiring.plus_first)
+    v = gb.Vector.from_coo([0, 1, 2, 3], [1.0, 2.0, 3.0, 4.0], size=6)
+    assert v.reduce(my_sq).new().value == 30.0
+    A = gb.Matrix.from_coo([0, 0, 1], [0, 1, 1], [1.0, 3.0, 5.0],
+                           nrows=2, ncols=2)
+    np.testing.assert_allclose(A.reduce_rowwise(my_sq).new().to_dense(),
+                               [10.0, 25.0])
+
+
+def test_custom_aggregator_switch_finalize():
+    from graphblas_tpu.core.operator.agg import Aggregator
+
+    lae2 = Aggregator("lae2", initval=2, semiring=gb.semiring.plus_pow,
+                      switch=True, semiring2=gb.semiring.plus_first,
+                      finalize=gb.unary.log2)
+    v = gb.Vector.from_coo([0, 1, 2, 3], [1.0, 2.0, 3.0, 4.0], size=6)
+    expected = np.log2(np.sum(2.0 ** np.array([1.0, 2.0, 3.0, 4.0])))
+    np.testing.assert_allclose(v.reduce(lae2).new().value, expected)
+
+
+def test_custom_aggregator_applybegin():
+    from graphblas_tpu.core.operator.agg import Aggregator
+
+    l1 = Aggregator("l1", applybegin=gb.unary.abs,
+                    semiring=gb.semiring.plus_first,
+                    semiring2=gb.semiring.plus_first)
+    w = gb.Vector.from_coo([0, 1], [-3.0, 4.0], size=3)
+    assert w.reduce(l1).new().value == 7.0
+
+
+def test_custom_aggregator_composite():
+    from graphblas_tpu.core.operator.agg import Aggregator
+
+    my_mean = Aggregator("my_mean", composite=[gb.agg.count, gb.agg.sum],
+                         finalize=lambda c, s: s / c)
+    v = gb.Vector.from_coo([0, 1, 3, 4], [1.0, 2.0, 3.0, 4.0], size=6)
+    assert v.reduce(my_mean).new().value == 2.5
+
+
+def test_custom_aggregator_errors():
+    from graphblas_tpu.core.operator.agg import Aggregator
+
+    with pytest.raises(TypeError):
+        Aggregator("bad")
+    with pytest.raises(TypeError):
+        Aggregator("bad", composite=[gb.agg.count])  # missing finalize
+    with pytest.raises(TypeError):
+        Aggregator("bad", monoid=gb.binary.plus)  # not a monoid
