@@ -99,15 +99,21 @@ def main():
         return seg_sum_sorted(routed[:nnz], ipj)
 
     def pagerank_body(spmv):
+        damp = jnp.float32(0.85)
+        tele = jnp.float32(0.15 / n)
+
         def body(r):
             y = spmv(r)
-            return 0.85 * y + 0.15 / n
+            return damp * y + tele
 
         return body
 
     def bfs_body(spmv):
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+
         def body(x):
-            return jnp.where(spmv(x) > 0, 1.0, 0.0)
+            return jnp.where(spmv(x) > 0, one, zero)
 
         return body
 

@@ -64,30 +64,137 @@ def _grid(host_vals, host_ok, dtype, nrows, ncols, is_vector=False):
     return "\n".join(lines)
 
 
-def format_vector(v):
-    name = f'"{v.name}"' if v.name else "gb.Vector"
-    header = (f"{name}       nvals  size  dtype   format\n"
-              f"vector  {v.nvals:>6} {v.size:>5}  {v.dtype.name:<6}  bitmap")
-    if v.size == 0:
+def _header(name, type_lines, cols):
+    """Reference-style aligned header (reference test_formatting.py goldens):
+
+        "A_1"      nvals  nrows  ncols  dtype   format
+        gb.Matrix      3      1      5  INT64  bitmapr
+
+    type_lines: one or more left-column lines (masks use two); values on the
+    last one.  cols: [(label, value_str), ...].
+    """
+    left = max(len(name), *(len(t) for t in type_lines))
+    widths = [max(len(lbl), len(val)) for lbl, val in cols]
+    line1 = name.ljust(left) + "".join(
+        "  " + lbl.rjust(w) for (lbl, _), w in zip(cols, widths))
+    out = [line1]
+    for t in type_lines[:-1]:
+        out.append(t)
+    out.append(type_lines[-1].ljust(left) + "".join(
+        "  " + val.rjust(w) for (_, val), w in zip(cols, widths)))
+    return "\n".join(out), len(line1)
+
+
+def _with_grid(header, width, obj, host_vals, host_ok, is_vector):
+    if obj.dtype._is_udt:
+        return header
+    nrows, ncols = (1, obj.size) if is_vector else (obj.nrows, obj.ncols)
+    if nrows == 0 or ncols == 0:
+        return header
+    grid = _grid(host_vals, host_ok, obj.dtype, nrows, ncols,
+                 is_vector=is_vector)
+    return f"{header}\n{'-' * width}\n{grid}"
+
+
+def format_vector(v, type_name="gb.Vector"):
+    name = f'"{v.name}"' if v.name else type_name
+    header, w = _header(
+        name, [type_name],
+        [("nvals", str(v.nvals)), ("size", str(v.size)),
+         ("dtype", v.dtype.name), ("format", v.ss.format)])
+    if v.size == 0 or v.dtype._is_udt:
         return header
     host_vals, host_ok = v._host_arrays()
-    if v.dtype._is_udt:
-        return header
-    grid = _grid(host_vals, host_ok, v.dtype, 1, v.size, is_vector=True)
-    return f"{header}\n{'-' * 40}\n{grid}"
+    return _with_grid(header, w, v, host_vals, host_ok, True)
 
 
-def format_matrix(m):
-    name = f'"{m.name}"' if m.name else "gb.Matrix"
-    header = (f"{name}       nvals  nrows  ncols  dtype   format\n"
-              f"matrix  {m.nvals:>6} {m.nrows:>6} {m.ncols:>6}  {m.dtype.name:<6}  bitmap")
-    if m.nrows == 0 or m.ncols == 0:
-        return header
-    if m.dtype._is_udt:
+def format_matrix(m, type_name="gb.Matrix"):
+    name = f'"{m.name}"' if m.name else type_name
+    header, w = _header(
+        name, [type_name],
+        [("nvals", str(m.nvals)), ("nrows", str(m.nrows)),
+         ("ncols", str(m.ncols)), ("dtype", m.dtype.name),
+         ("format", m.ss.format)])
+    if m.nrows == 0 or m.ncols == 0 or m.dtype._is_udt:
         return header
     host_vals, host_ok = m._host_arrays()
-    grid = _grid(host_vals, host_ok, m.dtype, m.nrows, m.ncols)
-    return f"{header}\n{'-' * 40}\n{grid}"
+    return _with_grid(header, w, m, host_vals, host_ok, False)
+
+
+def format_transposed(t):
+    """TransposedMatrix repr: the transposed grid under a gb.TransposedMatrix
+    header (reference test_formatting.py:150-152, 196-204)."""
+    m = t._matrix
+    name = f'"{m.name}.T"' if m.name else "gb.TransposedMatrix"
+    header, w = _header(
+        name, ["gb.TransposedMatrix"],
+        [("nvals", str(m.nvals)), ("nrows", str(t.nrows)),
+         ("ncols", str(t.ncols)), ("dtype", m.dtype.name),
+         ("format", "bitmapc")])
+    if t.nrows == 0 or t.ncols == 0 or m.dtype._is_udt:
+        return header
+    host_vals, host_ok = m._host_arrays()
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.dtype = m.dtype
+    shim.nrows, shim.ncols = t.nrows, t.ncols
+    return _with_grid(header, w, shim, np.asarray(host_vals).T,
+                      np.asarray(host_ok).T, False)
+
+
+_MASK_CLASS = {
+    (False, True): "StructuralMask",
+    (False, False): "ValueMask",
+    (True, True): "ComplementedStructuralMask",
+    (True, False): "ComplementedValueMask",
+}
+
+
+def format_mask(mask):
+    """Mask repr: 0/1 grid at the parent's stored positions
+    (reference test_formatting.py:205-260)."""
+    parent = mask.parent
+    is_vector = parent.ndim == 1
+    prefix = "~" if mask.complement else ""
+    suffix = "S" if mask.structure else "V"
+    pname = parent.name or ("v" if is_vector else "M")
+    name = f'"{prefix}{pname}.{suffix}"'
+    mask_cls = _MASK_CLASS[(mask.complement, mask.structure)]
+    type_label = f"of gb.{'Vector' if is_vector else 'Matrix'}"
+    if is_vector:
+        cols = [("nvals", str(parent.nvals)), ("size", str(parent.size)),
+                ("dtype", parent.dtype.name), ("format", parent.ss.format)]
+    else:
+        cols = [("nvals", str(parent.nvals)), ("nrows", str(parent.nrows)),
+                ("ncols", str(parent.ncols)), ("dtype", parent.dtype.name),
+                ("format", parent.ss.format)]
+    header, w = _header(name, [mask_cls, type_label], cols)
+    if parent.dtype._is_udt:
+        return header
+    host_vals, host_ok = parent._host_arrays()
+    # mask grid: show, at each STORED position, whether the mask passes there
+    if mask.structure:
+        shown = np.ones_like(host_ok, dtype=np.int64)
+    else:
+        shown = (np.asarray(host_vals) != 0).astype(np.int64)
+    if mask.complement:
+        shown = 1 - shown
+    from .dtypes import lookup_dtype
+
+    int_dt = lookup_dtype(np.int64)
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.dtype = int_dt
+    shim.size = getattr(parent, "size", None)
+    shim.nrows = getattr(parent, "nrows", None)
+    shim.ncols = getattr(parent, "ncols", None)
+    return _with_grid(header, w, shim, shown, host_ok, is_vector)
 
 
 def _html_grid(host_vals, host_ok, dtype, nrows, ncols, is_vector=False):

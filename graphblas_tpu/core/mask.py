@@ -27,9 +27,14 @@ class Mask:
         raise TypeError(f"__bool__ not defined for objects of type {type(self)}.")
 
     def __repr__(self):
-        prefix = "~" if self.complement else ""
-        suffix = "S" if self.structure else "V"
-        return f"{prefix}{self.parent.name or type(self.parent).__name__}.{suffix}"
+        from .formatting import format_mask
+
+        return format_mask(self)
+
+    def _repr_html_(self):
+        from .formatting import format_mask
+
+        return f"<pre>{format_mask(self)}</pre>"
 
     @property
     def name(self):

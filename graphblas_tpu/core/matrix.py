@@ -758,7 +758,14 @@ class TransposedMatrix:
     _name_html = name
 
     def __repr__(self):
-        return f"{self.name} (transposed view)"
+        from .formatting import format_transposed
+
+        return format_transposed(self)
+
+    def _repr_html_(self):
+        from .formatting import format_transposed
+
+        return f"<pre>{format_transposed(self)}</pre>"
 
     def new(self, dtype=None, *, mask=None, name=None, **opts):
         from . import execute

@@ -95,8 +95,10 @@ def test_mask_errors():
 def test_mask_repr():
     v = make_v()
     v.name = "v"
-    assert repr(v.S) == "v.S"
-    assert repr(~v.V) == "~v.V"
+    assert repr(v.S).startswith('"v.S"')
+    assert "StructuralMask" in repr(v.S)
+    assert repr(~v.V).startswith('"~v.V"')
+    assert "ComplementedValueMask" in repr(~v.V)
 
 
 def test_matrix_masks():
