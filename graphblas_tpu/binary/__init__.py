@@ -14,7 +14,16 @@ register_anonymous = _BinaryOp.register_anonymous
 
 
 class _SSNamespace:
-    """gb.binary.ss — relocated positional binary ops."""
+    """gb.binary.ss — relocated positional binary ops + engine-JIT
+    registration (reference core/ss/binary.py:33)."""
+
+    @staticmethod
+    def register_new(name, jit_definition, left_type=None, right_type=None,
+                     ret_type=None):
+        from ..core.ss.jit import register_new_binary
+
+        return register_new_binary(name, jit_definition, left_type,
+                                   right_type, ret_type)
 
 
 ss = _SSNamespace()

@@ -284,15 +284,70 @@ def unify(type1, type2, *, is_left_scalar=False, is_right_scalar=False):
     return lookup_dtype(np.promote_types(type1.np_type, type2.np_type))
 
 
+_C_TO_NP = {
+    "bool": "?", "_Bool": "?",
+    "int8_t": "i1", "char": "i1", "signed char": "i1",
+    "uint8_t": "u1", "unsigned char": "u1",
+    "int16_t": "i2", "short": "i2",
+    "uint16_t": "u2", "unsigned short": "u2",
+    "int32_t": "i4", "int": "i4",
+    "uint32_t": "u4", "unsigned int": "u4", "unsigned": "u4",
+    "int64_t": "i8", "long": "i8", "long long": "i8",
+    "uint64_t": "u8", "unsigned long": "u8", "unsigned long long": "u8",
+    "float": "f4", "double": "f8",
+    "float complex": "c8", "double complex": "c16",
+}
+
+
+def _parse_c_struct_typedef(name, source):
+    """Parse ``typedef struct { double x; int64_t y[4]; } name;`` into a
+    numpy struct dtype.  Covers the struct shapes the reference's JIT dtype
+    tests use (reference core/ss/dtypes.py:17-88, tests/test_ssjit.py:95-133);
+    anything fancier needs an explicit np_type=."""
+    import re
+
+    m = re.search(r"typedef\s+struct\s*\{(.*)\}\s*(\w+)\s*;", source, re.S)
+    if m is None:
+        raise ValueError(
+            "Only struct typedefs are currently allowed for JIT dtypes")
+    body, tname = m.groups()
+    if tname != name:
+        raise ValueError(
+            "`name` argument must be same name as the typedef in `jit_c_definition`")
+    fields = []
+    for decl in body.split(";"):
+        decl = decl.strip()
+        if not decl:
+            continue
+        fm = re.match(r"(.+?)\s+(\w+)\s*((?:\[\s*\d+\s*\]\s*)*)$", decl)
+        if fm is None:
+            raise ValueError(f"Cannot parse struct field: {decl!r}")
+        ctype, fname, arr = fm.groups()
+        ctype = " ".join(ctype.split())
+        if ctype not in _C_TO_NP:
+            raise ValueError(f"Unsupported C field type: {ctype!r}")
+        np_t = _C_TO_NP[ctype]
+        dims = tuple(int(d) for d in re.findall(r"\d+", arr or ""))
+        fields.append((fname, np_t, dims) if dims else (fname, np_t))
+    return np.dtype(fields)
+
+
 class _DtypeSS:
-    """`gb.dtypes.ss` shim (reference registers C-source dtypes here)."""
+    """``gb.dtypes.ss`` — engine-JIT dtype registration (reference
+    core/ss/dtypes.py:17).  The reference hands a C typedef to the SuiteSparse
+    compiler JIT; here the typedef is parsed into the equivalent numpy struct
+    dtype and registered as a UDT (or pass ``np_type=`` explicitly)."""
 
     @staticmethod
-    def register_new(name, dtype_string):
-        raise GraphblasException(
-            "C-source dtype registration is a SuiteSparse JIT feature; "
-            "on the TPU backend register numpy dtypes with gb.dtypes.register_new"
-        )
+    def register_new(name, jit_c_definition, *, np_type=None):
+        if not name.isidentifier():
+            raise ValueError(
+                f"`name` argument must be a valid Python identifier; got: {name!r}")
+        if np_type is None:
+            np_type = _parse_c_struct_typedef(name, jit_c_definition)
+        rv = register_new(name, np_type)
+        setattr(_DtypeSS, name, rv)
+        return rv
 
 
 ss = _DtypeSS()

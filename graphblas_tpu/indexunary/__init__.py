@@ -19,6 +19,22 @@ def from_string(string):
     return indexunary_from_string(string)
 
 
+class _SSNamespace:
+    """gb.indexunary.ss — engine-JIT registration
+    (reference indexunary/ss.py, core/ss/indexunary.py:27)."""
+
+    @staticmethod
+    def register_new(name, jit_definition, input_type=None, thunk_type=None,
+                     ret_type=None):
+        from ..core.ss.jit import register_new_indexunary
+
+        return register_new_indexunary(name, jit_definition, input_type,
+                                       thunk_type, ret_type)
+
+
+ss = _SSNamespace()
+
+
 def __dir__():
     return list(globals().keys())
 

@@ -23,6 +23,21 @@ def from_string(string):
     return select_from_string(string)
 
 
+class _SSNamespace:
+    """gb.select.ss — engine-JIT registration
+    (reference select/ss.py, core/ss/select.py:26)."""
+
+    @staticmethod
+    def register_new(name, jit_definition, input_type=None, thunk_type=None):
+        from ..core.ss.jit import register_new_select
+
+        return register_new_select(name, jit_definition, input_type,
+                                   thunk_type)
+
+
+ss = _SSNamespace()
+
+
 _COMPARE_TO_VALUE = {
     "lt": "valuelt",
     "gt": "valuegt",

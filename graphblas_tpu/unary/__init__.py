@@ -14,7 +14,14 @@ register_anonymous = _UnaryOp.register_anonymous
 
 
 class _SSNamespace:
-    """gb.unary.ss — relocated SuiteSparse-extension unary ops."""
+    """gb.unary.ss — relocated SuiteSparse-extension unary ops + engine-JIT
+    registration (reference core/ss/unary.py:27)."""
+
+    @staticmethod
+    def register_new(name, jit_definition, input_type=None, ret_type=None):
+        from ..core.ss.jit import register_new_unary
+
+        return register_new_unary(name, jit_definition, input_type, ret_type)
 
 
 ss = _SSNamespace()

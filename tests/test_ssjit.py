@@ -1,0 +1,89 @@
+"""Engine-JIT op/dtype registration (reference graphblas/tests/test_ssjit.py).
+
+The reference registers ops from C source compiled by the SuiteSparse JIT;
+here definitions are jax-traceable Python (callable or source string) traced
+by XLA (graphblas_tpu/core/ss/jit.py).
+"""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import binary, dtypes, indexunary, select, unary
+
+
+@pytest.fixture
+def v():
+    return gb.Vector.from_coo([1, 3, 4, 6], [1.0, 1.0, 2.0, 0.0])
+
+
+def test_jit_unary(v):
+    square = unary.ss.register_new("square", "lambda x: x * x", "FP32", "FP32")
+    assert square.name == "ss.square"
+    res = v.apply(square).new()
+    w = gb.Vector.from_coo([1, 3, 4, 6], [1.0, 1.0, 4.0, 0.0])
+    assert res.isclose(w)
+    assert unary.ss.square is square
+
+
+def test_jit_binary(v):
+    absdiff = binary.ss.register_new(
+        "absdiff",
+        "def absdiff(x, y):\n    return jnp.abs(x - y)",
+        "FP64", "FP64", "FP64")
+    w = gb.Vector.from_coo([1, 3, 4, 6], [5.0, 0.0, 0.5, 2.0])
+    res = v.ewise_mult(w, absdiff).new()
+    expected = gb.Vector.from_coo([1, 3, 4, 6], [4.0, 1.0, 1.5, 2.0])
+    assert res.isclose(expected)
+    assert binary.ss.absdiff is absdiff
+
+
+def test_jit_indexunary():
+    diffy = indexunary.ss.register_new(
+        "diffy",
+        "def diffy(x, i, j, thunk):\n    return (i + j) * thunk",
+        "FP64", "FP64", "FP64")
+    A = gb.Matrix.from_coo([0, 1], [1, 0], [9.0, 9.0], nrows=2, ncols=2)
+    res = A.apply(diffy, 2).new()
+    assert res.isclose(gb.Matrix.from_coo([0, 1], [1, 0], [2.0, 2.0],
+                                          nrows=2, ncols=2))
+    assert indexunary.ss.diffy is diffy
+
+
+def test_jit_select():
+    woot = select.ss.register_new(
+        "woot", "lambda x, i, j, thunk: x > thunk", "FP64", "FP64")
+    A = gb.Matrix.from_coo([0, 1], [1, 0], [9.0, 3.0], nrows=2, ncols=2)
+    res = A.select(woot, 8.5).new()
+    assert res.nvals == 1 and res[0, 1].new().value == 9.0
+    assert select.ss.woot is woot
+
+
+def test_jit_callable_definition(v):
+    import jax.numpy as jnp
+
+    cube = unary.ss.register_new("cube", lambda x: x * x * x)
+    res = v.apply(cube).new()
+    assert res.isclose(gb.Vector.from_coo([1, 3, 4, 6], [1.0, 1.0, 8.0, 0.0]))
+
+
+def test_jit_dtype_struct():
+    # reference test_ssjit.py:95-133 registers struct typedefs
+    quad = dtypes.ss.register_new(
+        "myquad", "typedef struct { float x [4][1] ; double y ; } myquad ;")
+    assert quad.np_type == np.dtype([("x", "f4", (4, 1)), ("y", "f8")])
+    v = gb.Vector(quad, 2)
+    assert v.dtype is quad
+    with pytest.raises(ValueError):
+        dtypes.ss.register_new("bad name", "typedef struct { int x; } y;")
+    with pytest.raises(ValueError):
+        dtypes.ss.register_new("zzz", "int zzz;")
+    with pytest.raises(ValueError):
+        dtypes.ss.register_new("zzz", "typedef struct { int x; } other;")
+
+
+def test_jit_bad_definition():
+    with pytest.raises(TypeError):
+        unary.ss.register_new("nope", 42)
+    with pytest.raises(ValueError):
+        unary.ss.register_new("nope", "x = 1")
