@@ -623,3 +623,72 @@ def reposition(vals, valid, offsets, out_shape):
     svals = st.tree_index(st.tree_pad(vals, pads), tuple(slices))
     svalid = jnp.pad(valid, pads)[tuple(slices)]
     return svals, svalid
+
+
+# --------------------------------------------------------------------- #
+# rowwise order kernels: sort / compactify / selectk
+# (reference core/ss/matrix.py:3815-4050 implements these with numba host
+# loops; here they are vectorized jnp argsort/take_along_axis on the bitmap
+# store, so they run on-device)
+
+def _row_order(vals, valid, how, rng_keys=None):
+    """Permutation ordering stored elements per row by `how`; missing
+    elements always order last.  Exact for all dtypes: a composite-key
+    lax.sort on (missing_flag, value_key) — no float-cast of int keys, no
+    sentinel collisions; the descending int transform ~v is overflow-free."""
+    colid = jax.lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
+    missing = (~valid).astype(jnp.int8)
+    if how == "first":
+        key2 = colid
+    elif how == "last":
+        key2 = -colid
+    elif how == "random":
+        key2 = rng_keys
+    elif how in ("smallest", "asc", "largest", "desc"):
+        v = vals
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.int8)
+        if how in ("largest", "desc"):
+            v = ~v if jnp.issubdtype(v.dtype, jnp.integer) else -v
+        key2 = v
+    else:
+        raise ValueError(f"Invalid how: {how}")
+    _, _, order = jax.lax.sort(
+        (missing, key2, colid), dimension=valid.ndim - 1, num_keys=2,
+        is_stable=True)
+    return order
+
+
+def rowwise_compactify(vals, valid, how, width, rng_keys=None):
+    """Pack stored values left per row in the given order; output is
+    (nrows, width) with the first count[i] slots valid."""
+    order = _row_order(vals, valid, how, rng_keys)
+    packed = jnp.take_along_axis(vals, order, axis=-1)
+    counts = valid.sum(axis=-1, keepdims=valid.ndim > 1)
+    colid = jax.lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
+    out_ok = colid < counts
+    ncols = valid.shape[-1]
+    if width < ncols:
+        packed = packed[..., :width]
+        out_ok = out_ok[..., :width]
+    return packed, out_ok
+
+
+def rowwise_sort(vals, valid, descending=False):
+    """Sort stored values within each row; returns (sorted values packed
+    left, permutation of original column indices, validity)."""
+    order = _row_order(vals, valid, "desc" if descending else "asc")
+    packed = jnp.take_along_axis(vals, order, axis=-1)
+    counts = valid.sum(axis=-1, keepdims=valid.ndim > 1)
+    colid = jax.lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
+    out_ok = colid < counts
+    return packed, order.astype(jnp.int64), out_ok
+
+
+def rowwise_selectk(vals, valid, how, k, rng_keys=None):
+    """Keep at most k stored elements per row (at their original
+    positions), chosen by `how`."""
+    order = _row_order(vals, valid, how, rng_keys)
+    # rank = inverse permutation of order: rank[i, order[i, r]] = r
+    rank = jnp.argsort(order, axis=-1)
+    return vals, valid & (rank < k)

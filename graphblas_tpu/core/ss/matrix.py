@@ -415,117 +415,73 @@ class MatrixSS:
         return Matrix._from_store(p.dtype, vals, ok, name=name)
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _rng_keys(shape):
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            np.random.default_rng().random(shape, dtype=np.float32))
+
     def selectk(self, how, k, *, name=None):
         """Select k elements per row (reference core/ss/matrix.py:3815).
-        how: first/last/smallest/largest/random."""
+        how: first/last/smallest/largest/random.  Runs as a vectorized
+        on-device sort kernel (engine/dense.py rowwise_selectk)."""
+        from ..engine import dense
         from ..matrix import Matrix
 
         p = self._parent
-        vals, ok = p._host_arrays()
-        out_ok = np.zeros_like(ok)
-        rng = np.random.default_rng()
-        for i in range(p.nrows):
-            cols = np.nonzero(ok[i])[0]
-            if len(cols) == 0:
-                continue
-            if how == "first":
-                chosen = cols[:k]
-            elif how == "last":
-                chosen = cols[-k:]
-            elif how == "smallest":
-                chosen = cols[np.argsort(vals[i, cols], kind="stable")[:k]]
-            elif how == "largest":
-                chosen = cols[np.argsort(vals[i, cols], kind="stable")[::-1][:k]]
-            elif how == "random":
-                chosen = rng.choice(cols, size=min(k, len(cols)), replace=False)
-            else:
-                raise ValueError(f"Invalid how: {how}")
-            out_ok[i, chosen] = True
-        import jax.numpy as jnp
-
-        return Matrix._from_store(p.dtype, jnp.asarray(vals), jnp.asarray(out_ok),
-                                  name=name)
+        if how not in ("first", "last", "smallest", "largest", "random"):
+            raise ValueError(f"Invalid how: {how}")
+        rng = self._rng_keys(p._valid.shape) if how == "random" else None
+        vals, ok = dense.rowwise_selectk(p._vals, p._valid, how, int(k), rng)
+        return Matrix._from_store(p.dtype, vals, ok, name=name)
 
     def compactify(self, how="first", ncols=None, *, name=None):
         """Pack stored values left per row (reference core/ss/matrix.py:3877)."""
+        from ..engine import dense
         from ..matrix import Matrix
 
         p = self._parent
-        vals, ok = p._host_arrays()
-        counts = ok.sum(axis=1)
-        width = int(counts.max()) if ncols is None else int(ncols)
-        out_vals = np.zeros((p.nrows, width), p.dtype.np_type)
-        out_ok = np.zeros((p.nrows, width), bool)
-        reverse = how in ("last", "largest")
-        for i in range(p.nrows):
-            cols = np.nonzero(ok[i])[0]
-            vv = vals[i, cols]
-            if how in ("smallest", "largest"):
-                order = np.argsort(vv, kind="stable")
-                if how == "largest":
-                    order = order[::-1]
-                vv = vv[order]
-            elif how == "last":
-                vv = vv[::-1]
-            elif how == "random":
-                vv = np.random.default_rng().permutation(vv)
-            n = min(len(vv), width)
-            out_vals[i, :n] = vv[:n]
-            out_ok[i, :n] = True
-        import jax.numpy as jnp
+        if ncols is None:
+            _, ok = p._host_arrays()
+            width = int(ok.sum(axis=1).max()) if p.nrows else 0
+        else:
+            width = int(ncols)
+        rng = self._rng_keys(p._valid.shape) if how == "random" else None
+        vals, ok = dense.rowwise_compactify(p._vals, p._valid, how, width, rng)
+        if width > p.ncols:  # pad wider than the input
+            import jax.numpy as jnp
 
-        return Matrix._from_store(p.dtype, jnp.asarray(out_vals),
-                                  jnp.asarray(out_ok), name=name)
+            pad = width - p.ncols
+            vals = jnp.pad(vals, ((0, 0), (0, pad)))
+            ok = jnp.pad(ok, ((0, 0), (0, pad)))
+        return Matrix._from_store(p.dtype, vals, ok, name=name)
 
     def sort(self, op="<", values=True, permutation=True, *, rowwise=True,
              nthreads=None):
-        """Sort values within each row (reference core/ss/matrix.py:3991)."""
+        """Sort values within each row (reference core/ss/matrix.py:3991;
+        GxB_Matrix_sort).  Vectorized on-device composite-key sort."""
+        from ..engine import dense
         from ..matrix import Matrix
         from ..operator.utils import binary_from_string
-        from ..operator.base import OpBase
 
         if isinstance(op, str):
             op = binary_from_string(op)
         opname = op.name if hasattr(op, "name") else "lt"
         descending = opname in ("gt", ">")
         p = self._parent
-        vals, ok = p._host_arrays()
-        counts = ok.sum(axis=1 if rowwise else 0)
-        P_vals = np.zeros_like(vals)
-        P_ok = np.zeros_like(ok)
-        C_vals = np.zeros_like(vals)
-        C_ok = np.zeros_like(ok)
-        it = range(p.nrows) if rowwise else range(p.ncols)
-        for i in it:
-            line_ok = ok[i] if rowwise else ok[:, i]
-            idx = np.nonzero(line_ok)[0]
-            if len(idx) == 0:
-                continue
-            vv = (vals[i, idx] if rowwise else vals[idx, i])
-            order = np.argsort(vv, kind="stable")
-            if descending:
-                order = order[::-1]
-            n = len(idx)
-            if rowwise:
-                C_vals[i, :n] = vv[order]
-                C_ok[i, :n] = True
-                P_vals[i, :n] = idx[order]
-                P_ok[i, :n] = True
-            else:
-                C_vals[:n, i] = vv[order]
-                C_ok[:n, i] = True
-                P_vals[:n, i] = idx[order]
-                P_ok[:n, i] = True
-        import jax.numpy as jnp
-
+        a_vals, a_ok = p._vals, p._valid
+        if not rowwise:
+            a_vals, a_ok = a_vals.T, a_ok.T
+        C_vals, P_vals, out_ok = dense.rowwise_sort(a_vals, a_ok, descending)
+        if not rowwise:
+            C_vals, P_vals, out_ok = C_vals.T, P_vals.T, out_ok.T
         outs = []
         if values:
-            outs.append(Matrix._from_store(p.dtype, jnp.asarray(C_vals),
-                                           jnp.asarray(C_ok)))
+            outs.append(Matrix._from_store(p.dtype, C_vals, out_ok))
         if permutation:
-            outs.append(Matrix._from_store(lookup_dtype(np.int64),
-                                           jnp.asarray(P_vals.astype(np.int64)),
-                                           jnp.asarray(P_ok)))
+            outs.append(Matrix._from_store(lookup_dtype(np.int64), P_vals,
+                                           out_ok))
         if len(outs) == 1:
             return outs[0]
         return tuple(outs)

@@ -208,96 +208,66 @@ class VectorSS:
         return idx[:n], v[:n]
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _rng_keys(shape):
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            np.random.default_rng().random(shape, dtype=np.float32))
+
     def selectk(self, how, k, *, name=None):
-        """Reference core/ss/vector.py:1407."""
+        """Reference core/ss/vector.py:1407.  Vectorized on-device kernel
+        (engine/dense.py rowwise_selectk on the 1-D store)."""
+        from ..engine import dense
         from ..vector import Vector
 
         p = self._parent
-        vals, ok = p._host_arrays()
-        idx = np.nonzero(ok)[0]
-        out_ok = np.zeros_like(ok)
-        if len(idx):
-            if how == "first":
-                chosen = idx[:k]
-            elif how == "last":
-                chosen = idx[-k:]
-            elif how == "smallest":
-                chosen = idx[np.argsort(vals[idx], kind="stable")[:k]]
-            elif how == "largest":
-                chosen = idx[np.argsort(vals[idx], kind="stable")[::-1][:k]]
-            elif how == "random":
-                chosen = np.random.default_rng().choice(
-                    idx, size=min(k, len(idx)), replace=False)
-            else:
-                raise ValueError(f"Invalid how: {how}")
-            out_ok[chosen] = True
-        import jax.numpy as jnp
-
-        return Vector._from_store(p.dtype, jnp.asarray(vals),
-                                  jnp.asarray(out_ok), name=name)
+        if how not in ("first", "last", "smallest", "largest", "random"):
+            raise ValueError(f"Invalid how: {how}")
+        rng = self._rng_keys(p._valid.shape) if how == "random" else None
+        vals, ok = dense.rowwise_selectk(p._vals, p._valid, how, int(k), rng)
+        return Vector._from_store(p.dtype, vals, ok, name=name)
 
     def compactify(self, how="first", size=None, *, name=None):
         """Reference core/ss/vector.py:1456."""
+        from ..engine import dense
         from ..vector import Vector
 
         p = self._parent
-        vals, ok = p._host_arrays()
-        idx = np.nonzero(ok)[0]
-        vv = vals[idx]
-        if how in ("smallest", "largest"):
-            order = np.argsort(vv, kind="stable")
-            if how == "largest":
-                order = order[::-1]
-            vv = vv[order]
-        elif how == "last":
-            vv = vv[::-1]
-        elif how == "random":
-            vv = np.random.default_rng().permutation(vv)
-        width = len(vv) if size is None else int(size)
-        out_vals = np.zeros((width,), p.dtype.np_type)
-        out_ok = np.zeros((width,), bool)
-        n = min(len(vv), width)
-        out_vals[:n] = vv[:n]
-        out_ok[:n] = True
-        import jax.numpy as jnp
+        if size is None:
+            _, ok = p._host_arrays()
+            width = int(ok.sum())
+        else:
+            width = int(size)
+        rng = self._rng_keys(p._valid.shape) if how == "random" else None
+        vals, ok = dense.rowwise_compactify(p._vals, p._valid, how, width, rng)
+        if width > p.size:
+            import jax.numpy as jnp
 
-        return Vector._from_store(p.dtype, jnp.asarray(out_vals),
-                                  jnp.asarray(out_ok), name=name)
+            pad = width - p.size
+            vals = jnp.pad(vals, (0, pad))
+            ok = jnp.pad(ok, (0, pad))
+        return Vector._from_store(p.dtype, vals, ok, name=name)
 
     def sort(self, op="<", values=True, permutation=True, *, nthreads=None):
-        """Reference core/ss/vector.py:1562."""
-        from ..vector import Vector
+        """Reference core/ss/vector.py:1562 (GxB_Vector_sort)."""
+        from ..engine import dense
         from ..operator.utils import binary_from_string
+        from ..vector import Vector
 
         if isinstance(op, str):
             op = binary_from_string(op)
         opname = op.name if hasattr(op, "name") else "lt"
         descending = opname in ("gt", ">")
         p = self._parent
-        vals, ok = p._host_arrays()
-        idx = np.nonzero(ok)[0]
-        vv = vals[idx]
-        order = np.argsort(vv, kind="stable")
-        if descending:
-            order = order[::-1]
-        n = len(idx)
-        C_vals = np.zeros_like(vals)
-        C_ok = np.zeros_like(ok)
-        P_vals = np.zeros(len(vals), np.int64)
-        P_ok = np.zeros_like(ok)
-        C_vals[:n] = vv[order]
-        C_ok[:n] = True
-        P_vals[:n] = idx[order]
-        P_ok[:n] = True
-        import jax.numpy as jnp
-
+        C_vals, P_vals, out_ok = dense.rowwise_sort(p._vals, p._valid,
+                                                    descending)
         outs = []
         if values:
-            outs.append(Vector._from_store(p.dtype, jnp.asarray(C_vals),
-                                           jnp.asarray(C_ok)))
+            outs.append(Vector._from_store(p.dtype, C_vals, out_ok))
         if permutation:
-            outs.append(Vector._from_store(lookup_dtype(np.int64),
-                                           jnp.asarray(P_vals), jnp.asarray(P_ok)))
+            outs.append(Vector._from_store(lookup_dtype(np.int64), P_vals,
+                                           out_ok))
         if len(outs) == 1:
             return outs[0]
         return tuple(outs)
@@ -342,3 +312,13 @@ class VectorSS:
         from ..vector import Vector
 
         return Vector._from_store(res.dtype, res._vals[0], res._valid[0], name=name)
+
+
+def random_choice(n, k):
+    """k distinct indices chosen uniformly from range(n)
+    (reference core/ss/vector.py:1725, numba)."""
+    n, k = int(n), int(k)
+    if k >= n:
+        return np.arange(n, dtype=np.uint64)
+    return np.random.default_rng().choice(n, size=k, replace=False).astype(
+        np.uint64)

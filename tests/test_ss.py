@@ -264,3 +264,76 @@ def test_vector_ss_concat_method(v):
 
 def test_unpack_hyperhash_none(A):
     assert A.ss.unpack_hyperhash() is None
+
+
+# --------------------------------------------------------------------- #
+# vectorized on-device selectk/compactify/sort (engine/dense.py kernels)
+
+def test_selectk_matrix_all_hows():
+    A = gb.Matrix.from_coo([0, 0, 0, 1, 1], [1, 3, 4, 0, 2],
+                           [5, 1, 3, 2, 2], nrows=3, ncols=5)
+    first2 = A.ss.selectk("first", 2)
+    assert first2.to_dicts() == {0: {1: 5, 3: 1}, 1: {0: 2, 2: 2}}
+    last1 = A.ss.selectk("last", 1)
+    assert last1.to_dicts() == {0: {4: 3}, 1: {2: 2}}
+    small1 = A.ss.selectk("smallest", 1)
+    assert small1.to_dicts() == {0: {3: 1}, 1: {0: 2}}
+    large1 = A.ss.selectk("largest", 1)
+    assert large1.to_dicts() == {0: {1: 5}, 1: {0: 2}}
+    rnd = A.ss.selectk("random", 2)
+    assert rnd.nvals == 4  # 2 from row 0 (3 stored), 2 from row 1 (2 stored)
+    with pytest.raises(ValueError):
+        A.ss.selectk("bogus", 1)
+
+
+def test_selectk_int64_extremes():
+    # exact int ordering: the composite-key sort must not round int64 keys
+    big = 2**62 + 1
+    v = gb.Vector.from_coo([0, 1, 2], [big, big - 1, -big], size=4,
+                           dtype="INT64")
+    assert v.ss.selectk("largest", 1).to_dict() == {0: big}
+    assert v.ss.selectk("smallest", 1).to_dict() == {2: -big}
+
+
+def test_compactify_matrix():
+    A = gb.Matrix.from_coo([0, 0, 0, 2], [1, 3, 4, 2], [5, 1, 3, 7],
+                           nrows=3, ncols=5)
+    c = A.ss.compactify("first")
+    assert c.shape == (3, 3)
+    assert c.to_dicts() == {0: {0: 5, 1: 1, 2: 3}, 2: {0: 7}}
+    c2 = A.ss.compactify("largest", 2)
+    assert c2.to_dicts() == {0: {0: 5, 1: 3}, 2: {0: 7}}
+    c3 = A.ss.compactify("last", 1)
+    assert c3.to_dicts() == {0: {0: 3}, 2: {0: 7}}
+
+
+def test_sort_matrix_rowwise_and_columnwise():
+    A = gb.Matrix.from_coo([0, 0, 0, 1], [0, 2, 4, 1], [3, 1, 2, 9],
+                           nrows=2, ncols=5)
+    C, P = A.ss.sort()
+    assert C.to_dicts() == {0: {0: 1, 1: 2, 2: 3}, 1: {0: 9}}
+    assert P.to_dicts() == {0: {0: 2, 1: 4, 2: 0}, 1: {0: 1}}
+    Cd = A.ss.sort(">", permutation=False)
+    assert Cd.to_dicts() == {0: {0: 3, 1: 2, 2: 1}, 1: {0: 9}}
+    # columnwise sort of the 5x2 transpose-equivalent
+    B = gb.Matrix.from_coo([0, 2, 4, 1], [0, 0, 0, 1], [3, 1, 2, 9],
+                           nrows=5, ncols=2)
+    Cc, Pc = B.ss.sort(rowwise=False)
+    assert Cc.to_dicts() == {0: {0: 1, 1: 9}, 1: {0: 2}, 2: {0: 3}}
+    assert Pc.to_dicts() == {0: {0: 2, 1: 1}, 1: {0: 4}, 2: {0: 0}}
+
+
+def test_sort_vector():
+    v = gb.Vector.from_coo([0, 2, 5], [3.0, 1.0, 2.0], size=6)
+    w, p = v.ss.sort()
+    assert w.to_dict() == {0: 1.0, 1: 2.0, 2: 3.0}
+    assert p.to_dict() == {0: 2, 1: 5, 2: 0}
+
+
+def test_random_choice_helper():
+    from graphblas_tpu.core.ss.vector import random_choice
+
+    ch = random_choice(10, 4)
+    assert len(ch) == 4 and len(set(ch.tolist())) == 4
+    assert ch.dtype == np.uint64
+    assert (random_choice(3, 5) == np.arange(3)).all()
