@@ -65,12 +65,13 @@ def _combine_dups(sorted_vals, seg_ids, nseg, dup_typed):
     return out
 
 
-def build_coo_store(rows, cols, values, shape, dtype, dup_op):
-    """Return (vals_device, valid_device) for the bitmap store."""
-    import jax.numpy as jnp
+def sorted_dedup_coo(rows, cols, values, shape, dtype, dup_op):
+    """Host-side sort (native C++ radix argsort) + dedup of COO input.
 
+    Returns (r, c, v) sorted lexicographically by (row, col), duplicates
+    combined with dup_op.  `cols` may be None for vectors.
+    """
     from .. import native
-    from .engine import store as st
 
     is_matrix = cols is not None
     nrows = shape[0]
@@ -100,6 +101,27 @@ def build_coo_store(rows, cols, values, shape, dtype, dup_op):
         keep = flags.astype(bool)
         r = r[keep]
         c = c[keep]
+    return r, c, v
+
+
+def build_sparse_coo_store(rows, cols, values, shape, dtype, dup_op):
+    """Matrix COO -> padded-CSR SparseStore (the scale path)."""
+    from .engine import sparse as spx
+
+    r, c, v = sorted_dedup_coo(rows, cols, values, shape, dtype, dup_op)
+    v_cast = v if dtype._is_udt else np.asarray(v).astype(dtype.np_type,
+                                                          copy=False)
+    return spx.build_sparse_store(r, c, v_cast, shape[0], shape[1], dtype)
+
+
+def build_coo_store(rows, cols, values, shape, dtype, dup_op):
+    """Return (vals_device, valid_device) for the bitmap store."""
+    import jax.numpy as jnp
+
+    from .engine import store as st
+
+    is_matrix = cols is not None
+    r, c, v = sorted_dedup_coo(rows, cols, values, shape, dtype, dup_op)
 
     vals_dev = st.zeros_values(shape, dtype)
     valid_dev = jnp.zeros(shape, bool)

@@ -67,7 +67,8 @@ def _check_mask(mask, output=None):
 
 
 class BaseType:
-    __slots__ = "_vals", "_valid", "dtype", "_name", "_nvals_cache", "__weakref__"
+    __slots__ = ("_d_vals", "_d_valid", "_sparse", "dtype", "_name",
+                 "_nvals_cache", "__weakref__")
     _is_scalar = False
 
     _expect_type = _expect_type
@@ -75,6 +76,7 @@ class BaseType:
 
     def __init__(self):
         self._nvals_cache = None
+        self._sparse = None
 
     # ------------------------------------------------------------------ #
     @property
@@ -90,9 +92,52 @@ class BaseType:
         return self.name or f"{type(self).__name__.upper()[0]}"
 
     def _set_store(self, vals, valid):
-        self._vals = vals
-        self._valid = valid
+        self._d_vals = vals
+        self._d_valid = valid
+        self._sparse = None
         self._nvals_cache = None
+
+    def _set_sparse_store(self, sp):
+        """Adopt a padded-CSR SparseStore (engine/sparse.py) as the backing."""
+        self._sparse = sp
+        self._d_vals = None
+        self._d_valid = None
+        self._nvals_cache = None
+
+    @property
+    def _vals(self):
+        if self._sparse is not None:
+            self._densify()
+        return self._d_vals
+
+    @property
+    def _valid(self):
+        if self._sparse is not None:
+            self._densify()
+        return self._d_valid
+
+    def _densify(self):
+        """Convert the sparse backing to the bitmap store, guarded by the
+        ``dense_limit`` config so an O(nrows*ncols) allocation on a
+        graph-scale matrix raises instead of exhausting device memory."""
+        sp = self._sparse
+        from .config import config
+
+        limit = int(config.get("dense_limit", 1 << 26))
+        total = sp.nrows * max(sp.ncols, 1)
+        if total > limit:
+            from ..exceptions import OutOfMemory
+
+            raise OutOfMemory(
+                f"operation requires densifying a {sp.nrows}x{sp.ncols} sparse "
+                f"{type(self).__name__} ({total} > dense_limit={limit}).  "
+                "This operation has no sparse fast path yet; raise "
+                'gb.config["dense_limit"] to force it on a small matrix.'
+            )
+        from .engine import sparse as spx
+
+        vals, valid = spx.densify(sp, self.dtype)
+        self._set_store(vals, valid)
 
     def _new_like(self, dtype, name=None):
         raise NotImplementedError
@@ -209,7 +254,10 @@ class BaseType:
     @property
     def nvals(self):
         if self._nvals_cache is None:
-            self._nvals_cache = int(np.asarray(self._valid).sum())
+            if self._sparse is not None:
+                self._nvals_cache = self._sparse.nvals()
+            else:
+                self._nvals_cache = int(np.asarray(self._d_valid).sum())
         return self._nvals_cache
 
     def clear(self):
@@ -217,16 +265,30 @@ class BaseType:
 
         from .engine import store as st
 
-        self._set_store(st.zeros_values(self._valid.shape, self.dtype),
-                        jnp.zeros(self._valid.shape, bool))
+        if self._sparse is not None:
+            from .engine import sparse as spx
+
+            sp = self._sparse
+            self._set_sparse_store(
+                spx.build_sparse_store(np.empty(0, np.int64), np.empty(0, np.int64),
+                                       np.empty(0, self.dtype.np_type),
+                                       sp.nrows, sp.ncols, self.dtype)
+            )
+            return
+        self._set_store(st.zeros_values(self._d_valid.shape, self.dtype),
+                        jnp.zeros(self._d_valid.shape, bool))
 
     def wait(self, how="materialize"):
         if how not in ("materialize", "complete"):
             raise ValueError(f'`how` argument must be "materialize" or "complete"; got {how!r}')
         import jax
 
-        jax.block_until_ready(self._vals)
-        jax.block_until_ready(self._valid)
+        if self._sparse is not None:
+            jax.block_until_ready(self._sparse.vals)
+            jax.block_until_ready(self._sparse.ok)
+        else:
+            jax.block_until_ready(self._d_vals)
+            jax.block_until_ready(self._d_valid)
         return self
 
     def _host_arrays(self):
@@ -290,9 +352,19 @@ class BaseExpression:
         self._value = None
         self._name = name
 
-    # -- static key for jit cache
+    # -- static key for jit cache (includes operand storage formats: the
+    # same expression compiles separately per dense/sparse operand layout)
     def _key(self):
-        return (self.method_name, self.op, self._statics, self.dtype)
+        return (self.method_name, self.op, self._statics, self.dtype,
+                self._fmt_sig())
+
+    def _fmt_sig(self):
+        sig = []
+        for a in self.args:
+            if isinstance(a, BaseType):
+                sp = a._sparse
+                sig.append("d" if sp is None else sp._statics())
+        return tuple(sig)
 
     def _dyn(self):
         if self._dyn_fn is not None:
@@ -300,7 +372,8 @@ class BaseExpression:
         out = []
         for a in self.args:
             if isinstance(a, BaseType):
-                out.append((a._vals, a._valid))
+                sp = a._sparse
+                out.append(sp._dyn() if sp is not None else (a._vals, a._valid))
             else:
                 out.append(a)
         return tuple(out)

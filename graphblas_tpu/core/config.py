@@ -72,4 +72,13 @@ class Config:
         return f"Config({self._values!r})"
 
 
-config = Config({"autocompute": True, "mapnumpy": True})
+config = Config({
+    "autocompute": True,
+    "mapnumpy": True,
+    # storage-format policy (TPU-native sparse engine, core/engine/sparse.py):
+    # matrices with nrows*ncols above auto_sparse_limit are backed by the
+    # padded-CSR store; densifying above dense_limit raises instead of
+    # allocating an O(nrows*ncols) bitmap on device.
+    "auto_sparse_limit": 1 << 22,
+    "dense_limit": 1 << 26,
+})

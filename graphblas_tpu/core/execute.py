@@ -22,7 +22,7 @@ import numpy as np
 from .. import exceptions as ex
 from .base import BaseExpression, BaseType
 from .dtypes import BOOL, INT64, lookup_dtype, unify
-from .engine import dense, store as st
+from .engine import dense, sparse as spx, store as st
 from .operator.utils import get_typed_op
 from .recorder import record
 
@@ -69,9 +69,240 @@ def _mask_arr(mask_statics, mask_dyn):
 
 
 # --------------------------------------------------------------------- #
+# sparse-format planning.  SparseStore operands (engine/sparse.py) take fast
+# paths for the hot operations; everything else densifies its sparse
+# operands first (guarded by the dense_limit config in BaseType._densify).
+def _sp_args(expr):
+    return [a for a in expr.args
+            if isinstance(a, BaseType) and a._sparse is not None]
+
+
+def _format_plan(expr):
+    """How to execute given current operand storage formats.
+
+    None      — all-dense, the normal path.
+    "inline"  — sparse operand(s), dense result; swap in a sparse trace impl.
+    "sparse"  — result is itself a sparse store (structure-preserving ops).
+    "densify" — no sparse path; densify sparse operands and go dense.
+    """
+    if expr._dyn_fn is not None:
+        return "densify" if _sp_args(expr) else None
+    if not _sp_args(expr):
+        return None
+    m = expr.method_name
+    if m in ("mxv", "vxm", "reduce_rowwise", "reduce_columnwise",
+             "reduce_scalar", "extract_element"):
+        return "inline"
+    if m in ("apply", "apply_indexunary", "select", "copy", "transpose"):
+        return "sparse"
+    if m == "mxm":
+        a, b = expr.args
+        a_sp = a._sparse if isinstance(a, BaseType) else None
+        b_sp = b._sparse if isinstance(b, BaseType) else None
+        if (a_sp is not None and a_sp.is_diag) or (b_sp is not None and b_sp.is_diag):
+            return "sparse"
+        return "densify"
+    if m in ("ewise_mult", "ewise_add", "ewise_union"):
+        statics = expr._statics
+        at, bt, a_bc, b_bc = statics[3], statics[4], statics[7], statics[8]
+        if (a_bc or b_bc) and m == "ewise_mult":
+            return "sparse"
+        a, b = expr.args[0], expr.args[1]
+        if (isinstance(a, BaseType) and isinstance(b, BaseType)
+                and a._sparse is not None and b._sparse is not None
+                and a._sparse.token == b._sparse.token and at == bt):
+            return "sparse"
+        return "densify"
+    return "densify"
+
+
+def _densify_args(expr):
+    for a in _sp_args(expr):
+        a._densify()
+
+
+def _sparsify(mat):
+    """Convert a dense-backed matrix to sparse (host roundtrip; used to align
+    the non-diag operand of a diag mxm)."""
+    vals, ok = mat._host_arrays()
+    mat._set_sparse_store(spx.from_dense(vals, ok, mat.shape[0], mat.shape[1],
+                                         mat.dtype))
+
+
+def _inline_sparse_impl(expr):
+    """Trace impl for 'inline' plans: sparse operands, dense result store."""
+    m = expr.method_name
+    if m in ("mxv", "vxm"):
+        kind, a_dt, b_dt, at, bt = expr._statics
+        mat_i = 0 if m == "mxv" else 1
+        vec_i = 1 - mat_i
+        tflag = at if m == "mxv" else bt
+        mat_dt = a_dt if m == "mxv" else b_dt
+        u_dt = b_dt if m == "mxv" else a_dt
+        sp = expr.args[mat_i]._sparse
+        nrows, ncols = sp.nrows, sp.ncols
+
+        def impl(e, dyn):
+            u_vals, u_valid = dyn[vec_i]
+            return spx.spmv(dyn[mat_i], nrows, ncols, tflag, m, u_vals,
+                            u_valid, e.op, mat_dt, u_dt)
+
+        return impl
+    if m in ("reduce_rowwise", "reduce_columnwise"):
+        a_dt, axis, tflag = expr._statics
+        sp = expr.args[0]._sparse
+        nrows, ncols = sp.nrows, sp.ncols
+
+        def impl(e, dyn):
+            return spx.reduce_axis(dyn[0], nrows, ncols, tflag, axis, e.op, a_dt)
+
+        return impl
+    if m == "reduce_scalar":
+        a_dt, allow_empty = expr._statics
+
+        def impl(e, dyn):
+            _, _, vals, ok, _ = dyn[0]
+            v, valid = dense.reduce_monoid(vals, ok, e.op, a_dt, 0)
+            if not allow_empty:
+                ident = st.identity_value_array(e.op, e.op.type)
+                if ident is None:
+                    ident = jnp.zeros((), e.op.type.np_type)
+                v = jnp.where(valid, v, ident)
+                valid = jnp.ones((), bool)
+            return v, valid
+
+        return impl
+    if m == "extract_element":
+        a_dt, ndim, tflag = expr._statics
+        sp = expr.args[0]._sparse
+        nrows, ncols = sp.nrows, sp.ncols
+
+        def impl(e, dyn):
+            return spx.extract_element(dyn[0], nrows, ncols, tflag,
+                                       dyn[1], dyn[2])
+
+        return impl
+    raise AssertionError(f"no inline sparse impl for {m}")
+
+
+def _sparse_out_run(expr, out_dtype):
+    """Execute a 'sparse'-plan expression; returns the result SparseStore."""
+    m = expr.method_name
+    statics = expr._statics
+    z_dt = expr.dtype
+
+    def _cast(dyn5):
+        if out_dtype == z_dt:
+            return dyn5
+        return spx.cast_copy(dyn5, z_dt, out_dtype)
+
+    if m in ("apply", "apply_indexunary", "select", "copy", "transpose"):
+        src = expr.args[0]
+        sp = src._sparse
+        tflag = True if m == "transpose" else (
+            statics[-1] if m != "copy" else statics[1])
+        op = expr.op
+
+        def fn(*dyn):
+            a = spx.transpose(dyn[0]) if tflag else dyn[0]
+            if m in ("copy", "transpose"):
+                return spx.cast_copy(a, statics[0], out_dtype)
+            if m == "apply":
+                if len(statics) == 2:  # unary: (src_dt, tflag)
+                    return _cast(spx.apply_unary(a, False, op, statics[0]))
+                src_dt, bdt, is_left, _ = statics
+                return _cast(spx.apply_bound(a, False, op, src_dt, dyn[1],
+                                             bdt, is_left))
+            if m == "apply_indexunary":
+                src_dt = statics[0]
+                return _cast(spx.apply_indexunary(a, False, op, src_dt, dyn[1]))
+            src_dt = statics[0]
+            return spx.select_op(a, False, op, src_dt, dyn[1], out_dtype)
+
+        nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
+        key = ("sparse_out", expr._key(), out_dtype)
+        out_dyn = _run(key, fn, *expr._dyn())
+        return sp.with_store(out_dyn, same_structure=not tflag,
+                             nrows=nrows, ncols=ncols)
+
+    if m == "mxm":
+        _, a_dt, b_dt, at, bt = statics
+        a, b = expr.args
+        a_sp, b_sp = a._sparse, b._sparse
+        left_diag = a_sp is not None and a_sp.is_diag
+        # align the non-diag operand to sparse
+        other = b if left_diag else a
+        if other._sparse is None:
+            _sparsify(other)
+        o_sp = other._sparse
+        tflag = bool(bt if left_diag else at)
+        d_dt = a_dt if left_diag else b_dt
+        o_dt = b_dt if left_diag else a_dt
+
+        def fn(a_dyn, b_dyn):
+            o_dyn, d_dyn = (b_dyn, a_dyn) if left_diag else (a_dyn, b_dyn)
+            out = spx.mxm_diag(o_dyn, d_dyn, left_diag, tflag, expr.op,
+                               o_dt, d_dt)
+            return _cast(out)
+
+        nrows, ncols = ((o_sp.ncols, o_sp.nrows) if tflag
+                        else (o_sp.nrows, o_sp.ncols))
+        key = ("sparse_out", expr._key(), out_dtype)
+        out_dyn = _run(key, fn, *expr._dyn())
+        return o_sp.with_store(out_dyn, same_structure=not tflag,
+                               nrows=nrows, ncols=ncols)
+
+    # ewise on sparse structure
+    variant, a_dt, b_dt, at, bt, ldt, rdt, a_bc, b_bc = statics
+    a, b = expr.args[0], expr.args[1]
+    if a_bc or b_bc:
+        # matrix (sparse) .* vector broadcast along rows
+        mat = a if b_bc else b
+        sp = mat._sparse
+        mat_dt = a_dt if b_bc else b_dt
+        v_dt = b_dt if b_bc else a_dt
+        tflag = bool(at if b_bc else bt)
+
+        def fn(a_dyn, b_dyn, *rest):
+            m_dyn, v_dyn = (a_dyn, b_dyn) if b_bc else (b_dyn, a_dyn)
+            m_dyn = spx.transpose(m_dyn) if tflag else m_dyn
+            out = spx.ewise_mult_vector_bcast(
+                m_dyn, False, expr.op, mat_dt, v_dyn[0], v_dyn[1], v_dt,
+                vector_left=not b_bc)
+            return _cast(out)
+
+        nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
+        key = ("sparse_out", expr._key(), out_dtype)
+        out_dyn = _run(key, fn, *expr._dyn())
+        return sp.with_store(out_dyn, same_structure=not tflag,
+                             nrows=nrows, ncols=ncols)
+
+    sp = a._sparse
+    tflag = bool(at)
+
+    def fn(a_dyn, b_dyn, *rest):
+        ax = spx.transpose(a_dyn) if tflag else a_dyn
+        bx = spx.transpose(b_dyn) if tflag else b_dyn
+        out = spx.ewise_same_structure(ax, bx, variant, expr.op, a_dt, b_dt,
+                                       z_dt, rest if variant == "union" else None)
+        return _cast(out)
+
+    nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
+    key = ("sparse_out", expr._key(), out_dtype)
+    out_dyn = _run(key, fn, *expr._dyn())
+    return sp.with_store(out_dyn, same_structure=not tflag,
+                         nrows=nrows, ncols=ncols)
+
+
+# --------------------------------------------------------------------- #
 # public entry points
 def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None):
     out_cls = expr.output_type
+    plan = _format_plan(expr)
+    if plan == "sparse" and mask is None:
+        record(_record_line(None, expr, None, None, False))
+        sp = _sparse_out_run(expr, out_dtype)
+        return out_cls._from_sparse(out_dtype, sp, name=name)
     out = out_cls._empty(out_dtype, expr.shape, name=name)
     if is_cscalar is not None and hasattr(out, "_is_cscalar"):
         out._is_cscalar = bool(is_cscalar)
@@ -80,13 +311,24 @@ def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None):
 
 
 def update_into(target, expr, *, mask=None, accum=None, replace=False):
+    plan = _format_plan(expr)
+    if plan == "sparse":
+        if mask is None and accum is None:
+            record(_record_line(target, expr, mask, accum, replace))
+            target._set_sparse_store(_sparse_out_run(expr, target.dtype))
+            return
+        _densify_args(expr)
+        plan = None
+    elif plan == "densify":
+        _densify_args(expr)
+        plan = None
     typed_accum = None
     if accum is not None:
         typed_accum = get_typed_op(accum, target.dtype, expr.dtype, kind="binary")
     ms = _mask_statics(mask)
     key = ("update", expr._key(), target.dtype, ms, typed_accum, bool(replace),
            expr._shape, target.shape)
-    impl = expr._trace_impl
+    impl = _inline_sparse_impl(expr) if plan == "inline" else expr._trace_impl
     c_dt = target.dtype
     z_dt = expr.dtype
 

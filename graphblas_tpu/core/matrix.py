@@ -51,13 +51,38 @@ class Matrix(Collection):
         self._ncols = ncols
         self._name = name
         self._ss = None
-        self._set_store(st.zeros_values((nrows, ncols), self.dtype),
-                        jnp.zeros((nrows, ncols), bool))
+        from .config import config
+
+        if nrows * ncols > int(config.get("auto_sparse_limit", 1 << 22)):
+            # graph-scale: back with an empty padded-CSR store instead of an
+            # O(nrows*ncols) bitmap allocation (engine/sparse.py)
+            from .engine import sparse as spx
+
+            self._set_sparse_store(
+                spx.build_sparse_store(np.empty(0, np.int64),
+                                       np.empty(0, np.int64),
+                                       np.empty(0, self.dtype.np_type),
+                                       nrows, ncols, self.dtype))
+        else:
+            self._set_store(st.zeros_values((nrows, ncols), self.dtype),
+                            jnp.zeros((nrows, ncols), bool))
 
     # ------------------------------------------------------------------ #
     @classmethod
     def _empty(cls, dtype, shape, name=None):
         return cls(dtype, shape[0], shape[1], name=name)
+
+    @classmethod
+    def _from_sparse(cls, dtype, sp, name=None):
+        m = cls.__new__(cls)
+        BaseType.__init__(m)
+        m.dtype = lookup_dtype(dtype)
+        m._nrows = sp.nrows
+        m._ncols = sp.ncols
+        m._name = name
+        m._ss = None
+        m._set_sparse_store(sp)
+        return m
 
     @classmethod
     def _from_store(cls, dtype, vals, valid, name=None):
@@ -334,8 +359,13 @@ class Matrix(Collection):
                 raise IndexOutOfBound(
                     f"column index out of bounds for ncols {self._ncols}"
                 )
-        from ._build import build_coo_store
+        from ._build import build_coo_store, build_sparse_coo_store
 
+        if self._sparse is not None:
+            self._set_sparse_store(build_sparse_coo_store(
+                rows, columns, values, (self._nrows, self._ncols), self.dtype,
+                dup_op))
+            return
         vals_dev, ok_dev = build_coo_store(
             rows, columns, values, (self._nrows, self._ncols), self.dtype, dup_op
         )
@@ -346,6 +376,15 @@ class Matrix(Collection):
     def to_coo(self, dtype=None, *, rows=True, columns=True, values=True,
                sort=True):
         """Reference matrix.py:543."""
+        if self._sparse is not None:
+            r, c, v = self._sparse.host_coo()
+            out_v = None
+            if values:
+                out_v = v
+                if dtype is not None:
+                    out_v = out_v.astype(lookup_dtype(dtype).np_type)
+            return (r.astype(np.uint64) if rows else None,
+                    c.astype(np.uint64) if columns else None, out_v)
         host_vals, host_ok = self._host_arrays()
         r, c = np.nonzero(host_ok)
         out_r = r.astype(np.uint64) if rows else None

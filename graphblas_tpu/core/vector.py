@@ -295,6 +295,15 @@ class Vector(Collection):
 
         k = int(k)
         n = self._size + abs(k)
+        from .config import config
+
+        if n * n > int(config.get("auto_sparse_limit", 1 << 22)):
+            # graph-scale diagonal: sparse store, no O(n^2) bitmap
+            from .engine import sparse as spx
+
+            sp = spx.diag_sparse_store_k(self._vals, self._valid, self._size,
+                                         k, n)
+            return Matrix._from_sparse(self.dtype, sp, name=name)
         expr = BaseExpression("diag", None, [self], (self.dtype, k, n),
                               execute.T_diag_build, self.dtype, (n, n), Matrix)
         return expr.new(name=name)

@@ -1,0 +1,255 @@
+"""Sparse (padded-CSR) engine: behavioral parity with the dense bitmap engine.
+
+The same operations are run on a dense-backed and a sparse-backed copy of the
+same matrix (forced via the ``auto_sparse_limit`` config) and must agree —
+the dense engine plays the role of the reference's "vanilla" oracle backend
+(SURVEY §4: dual-backend testing strategy).
+"""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Vector, agg, binary, dtypes, monoid, select, semiring, unary
+
+
+@pytest.fixture
+def graph():
+    # 7-node digraph in the spirit of the reference test fixture
+    # (reference graphblas/tests/test_matrix.py:34-55)
+    rows = np.array([0, 0, 1, 1, 2, 3, 3, 4, 5, 6, 6, 6])
+    cols = np.array([1, 3, 4, 6, 5, 0, 2, 5, 2, 2, 3, 4])
+    vals = np.array([2.0, 3.0, 8.0, 4.0, 1.0, 3.0, 3.0, 7.0, 1.0, 5.0, 7.0, 3.0])
+    return rows, cols, vals
+
+
+def make_pair(graph, dtype=dtypes.FP64):
+    rows, cols, vals = graph
+    dense = Matrix.from_coo(rows, cols, vals, dtype, nrows=7, ncols=7)
+    with gb.config.set(auto_sparse_limit=0):
+        sparse = Matrix.from_coo(rows, cols, vals, dtype, nrows=7, ncols=7)
+    assert sparse._sparse is not None
+    assert dense._sparse is None
+    return dense, sparse
+
+
+def assert_same(a, b):
+    """Compare two collections via COO export."""
+    assert a.shape == b.shape
+    if a.ndim == 2:
+        ar, ac, av = a.to_coo()
+        br, bc, bv = b.to_coo()
+        np.testing.assert_array_equal(ar, br)
+        np.testing.assert_array_equal(ac, bc)
+    else:
+        ar, av = a.to_coo()
+        br, bv = b.to_coo()
+        np.testing.assert_array_equal(ar, br)
+    np.testing.assert_allclose(av, bv, rtol=1e-12)
+
+
+def test_sparse_build_roundtrip(graph):
+    dense, sparse = make_pair(graph)
+    assert sparse.nvals == dense.nvals == 12
+    assert_same(dense, sparse)
+    assert sparse._sparse is not None  # to_coo must not densify
+
+
+def test_mxv_vxm_semirings(graph):
+    dense, sparse = make_pair(graph)
+    v = Vector.from_coo([0, 2, 3, 6], [1.0, 2.0, 3.0, 4.0], dtypes.FP64, size=7)
+    for ring in (semiring.plus_times, semiring.min_plus, semiring.max_plus,
+                 semiring.plus_plus, semiring.min_first, semiring.plus_pair):
+        assert_same(dense.mxv(v, ring).new(), sparse.mxv(v, ring).new())
+        assert_same(v.vxm(dense, ring).new(), v.vxm(sparse, ring).new())
+        # lazy transpose
+        assert_same(dense.T.mxv(v, ring).new(), sparse.T.mxv(v, ring).new())
+        assert_same(v.vxm(dense.T, ring).new(), v.vxm(sparse.T, ring).new())
+
+
+def test_mxv_bool_and_positional(graph):
+    dense, sparse = make_pair(graph, dtypes.BOOL)
+    q = Vector.from_coo([0, 3], [True, True], dtypes.BOOL, size=7)
+    ring = semiring.lor_land[bool]
+    assert_same(q.vxm(dense, ring).new(), q.vxm(sparse, ring).new())
+    ring = semiring.any_pair[bool]
+    assert_same(q.vxm(dense, ring).new(), q.vxm(sparse, ring).new())
+    # positional semiring (BFS parents): min_secondi over INT64 frontier
+    d64, s64 = make_pair(graph, dtypes.INT64)
+    qi = Vector.from_coo([0, 3], [0, 3], dtypes.INT64, size=7)
+    ring = semiring.ss.min_secondi
+    assert_same(qi.vxm(d64, ring).new(), qi.vxm(s64, ring).new())
+
+
+def test_masked_mxv_writeback(graph):
+    dense, sparse = make_pair(graph)
+    v = Vector.from_coo([0, 2, 3, 6], [1.0, 2.0, 3.0, 4.0], dtypes.FP64, size=7)
+    m = Vector.from_coo([0, 1, 4, 5], [True, True, False, True], dtypes.BOOL,
+                        size=7)
+    for mk in (m.S, m.V, ~m.S, ~m.V):
+        wd = Vector.from_coo(np.arange(7), np.full(7, 9.0), dtypes.FP64, size=7)
+        ws = wd.dup()
+        wd(mk, accum=binary.plus, replace=True) << dense.mxv(v, semiring.plus_times)
+        ws(mk, accum=binary.plus, replace=True) << sparse.mxv(v, semiring.plus_times)
+        assert_same(wd, ws)
+
+
+def test_reduce(graph):
+    dense, sparse = make_pair(graph)
+    for mono in (monoid.plus, monoid.min, monoid.max, monoid.times,
+                 monoid.any):
+        assert_same(dense.reduce_rowwise(mono).new(),
+                    sparse.reduce_rowwise(mono).new())
+        assert_same(dense.reduce_columnwise(mono).new(),
+                    sparse.reduce_columnwise(mono).new())
+        rd = dense.reduce_scalar(mono).new()
+        rs = sparse.reduce_scalar(mono).new()
+        assert rd.value == pytest.approx(rs.value)
+    # transposed reductions
+    assert_same(dense.T.reduce_rowwise(monoid.plus).new(),
+                sparse.T.reduce_rowwise(monoid.plus).new())
+
+
+def test_apply_select_dup(graph):
+    dense, sparse = make_pair(graph)
+    assert_same(dense.apply(unary.ainv).new(), sparse.apply(unary.ainv).new())
+    assert_same(dense.apply(binary.times, right=2.5).new(),
+                sparse.apply(binary.times, right=2.5).new())
+    assert_same(dense.apply(binary.minus, left=10).new(),
+                sparse.apply(binary.minus, left=10).new())
+    out = sparse.apply(unary.one).new(dtype=dtypes.INT64)
+    assert out._sparse is not None
+    assert_same(dense.apply(unary.one).new(dtype=dtypes.INT64), out)
+    # indexunary apply
+    assert_same(dense.apply(gb.indexunary.rowindex).new(),
+                sparse.apply(gb.indexunary.rowindex).new())
+    # select
+    for sel, thunk in ((select.tril, -1), (select.triu, 0),
+                       (select.valuegt, 3.0), ("<=", 4.0)):
+        sd = dense.select(sel, thunk).new()
+        ss_ = sparse.select(sel, thunk).new()
+        assert ss_._sparse is not None
+        assert_same(sd, ss_)
+    # dup + cast
+    assert_same(dense.dup(dtype=dtypes.INT64), sparse.dup(dtype=dtypes.INT64))
+
+
+def test_transpose_materialize(graph):
+    dense, sparse = make_pair(graph)
+    td = dense.T.new()
+    ts = sparse.T.new()
+    assert ts._sparse is not None
+    assert_same(td, ts)
+    # transpose of transpose round-trips
+    assert_same(dense, ts.T.new())
+
+
+def test_ewise_same_structure_and_broadcast(graph):
+    dense, sparse = make_pair(graph)
+    # same-structure sparse-sparse (dup shares the structure token)
+    s2 = sparse.apply(binary.plus, right=1.0).new()
+    d2 = dense.apply(binary.plus, right=1.0).new()
+    assert_same(dense.ewise_mult(d2, binary.times).new(),
+                sparse.ewise_mult(s2, binary.times).new())
+    assert_same(dense.ewise_add(d2, binary.plus).new(),
+                sparse.ewise_add(s2, binary.plus).new())
+    assert_same(dense.ewise_union(d2, binary.minus, 0.0, 100.0).new(),
+                sparse.ewise_union(s2, binary.minus, 0.0, 100.0).new())
+    # matrix .* vector broadcast (column scaling)
+    v = Vector.from_coo(np.arange(7), np.arange(1.0, 8.0), dtypes.FP64, size=7)
+    assert_same(dense.ewise_mult(v, binary.times).new(),
+                sparse.ewise_mult(v, binary.times).new())
+
+
+def test_mxm_diag_scaling(graph):
+    dense, sparse = make_pair(graph)
+    v = Vector.from_coo(np.arange(7), np.arange(1.0, 8.0), dtypes.FP64, size=7)
+    with gb.config.set(auto_sparse_limit=0):
+        dd = v.diag()
+    assert dd._sparse is not None and dd._sparse.is_diag
+    d_dense = v.diag()
+    # row scaling D @ A
+    rd = d_dense.mxm(dense, semiring.plus_times).new()
+    rs = dd.mxm(sparse, semiring.plus_times).new()
+    assert rs._sparse is not None
+    assert_same(rd, rs)
+    # column scaling A @ D
+    assert_same(dense.mxm(d_dense, semiring.plus_times).new(),
+                sparse.mxm(dd, semiring.plus_times).new())
+
+
+def test_extract_element_and_contains(graph):
+    dense, sparse = make_pair(graph)
+    assert sparse[0, 1].new().value == dense[0, 1].new().value == 2.0
+    assert sparse[6, 4].new().value == 3.0
+    assert sparse[0, 0].new().value is None
+    assert (0, 1) in sparse
+    assert (0, 0) not in sparse
+    assert sparse._sparse is not None  # element access must not densify
+
+
+def test_densify_fallback_small(graph):
+    """Ops without a sparse path transparently densify under dense_limit."""
+    dense, sparse = make_pair(graph)
+    out_d = dense.mxm(dense, semiring.plus_times).new()
+    out_s = sparse.mxm(sparse.dup(), semiring.plus_times).new()
+    assert_same(out_d, out_s)
+
+
+def test_densify_guard_raises():
+    with gb.config.set(auto_sparse_limit=0, dense_limit=16):
+        A = Matrix.from_coo([0, 100], [1, 200], [1.0, 2.0], dtypes.FP64,
+                            nrows=300, ncols=300)
+        with pytest.raises(gb.exceptions.OutOfMemory):
+            A.mxm(A.dup(), semiring.plus_times).new()
+
+
+def test_aggregator_recipes_on_sparse(graph):
+    dense, sparse = make_pair(graph)
+    for a in (agg.count, agg.sum, agg.mean, agg.L2norm):
+        assert_same(dense.reduce_rowwise(a).new(), sparse.reduce_rowwise(a).new())
+
+
+def test_algorithms_sparse_equals_dense():
+    from graphblas_tpu.algorithms import bfs_level, bfs_parent, pagerank, sssp
+    from graphblas_tpu.algorithms import connected_components, triangle_count
+
+    rng = np.random.default_rng(7)
+    n, deg = 60, 4
+    r = rng.integers(0, n, n * deg)
+    c = rng.integers(0, n, n * deg)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    w = rng.uniform(0.5, 2.0, len(r))
+    Ad = Matrix.from_coo(r, c, w, dtypes.FP64, nrows=n, ncols=n,
+                         dup_op=binary.first)
+    with gb.config.set(auto_sparse_limit=0):
+        As = Matrix.from_coo(r, c, w, dtypes.FP64, nrows=n, ncols=n,
+                             dup_op=binary.first)
+    assert_same(bfs_level(Ad, 0), bfs_level(As, 0))
+    assert_same(bfs_parent(Ad, 0), bfs_parent(As, 0))
+    assert_same(sssp(Ad, 0), sssp(As, 0))
+    rd, itd = pagerank(Ad)
+    rs, its = pagerank(As)
+    assert itd == its
+    ar, av = rd.to_coo()
+    br, bv = rs.to_coo()
+    np.testing.assert_allclose(av, bv, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_bfs_scale_never_densifies():
+    """BFS on a 300k-node graph: must run entirely on the sparse path
+    (a densify would trip dense_limit)."""
+    from graphblas_tpu.algorithms import bfs_level
+
+    rng = np.random.default_rng(3)
+    n, deg = 300_000, 4
+    r = rng.integers(0, n, n * deg)
+    c = rng.integers(0, n, n * deg)
+    keep = r != c
+    A = Matrix.from_coo(r[keep], c[keep], 1.0, dtypes.FP64, nrows=n, ncols=n,
+                        dup_op=binary.first)
+    assert A._sparse is not None
+    v = bfs_level(A, 0)
+    assert v.nvals > n // 2
