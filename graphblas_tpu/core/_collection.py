@@ -259,6 +259,16 @@ class Collection(BaseType):
                               execute.T_select, src.dtype, self.shape, type(src))
 
     # ------------------------------------------------------------------ #
+    def _coo_compare(self, other, value_cmp):
+        """Structure + value comparison via sorted COO export (the sparse
+        path; avoids densifying graph-scale operands)."""
+        a = self.to_coo()
+        b = other.to_coo()
+        for ai, bi in zip(a[:-1], b[:-1]):
+            if not np.array_equal(ai, bi):
+                return False
+        return value_cmp(a[-1], b[-1])
+
     def isequal(self, other, *, check_dtype=False):
         """Exact equality: same shape, same structure, same values.
         Reference matrix.py:357 / vector.py (same semantics)."""
@@ -267,6 +277,13 @@ class Collection(BaseType):
             return False
         if self.shape != other.shape:
             return False
+        if self._sparse is not None or getattr(other, "_sparse", None) is not None:
+            common = self.dtype if check_dtype else unify(self.dtype, other.dtype)
+            if self.dtype._is_udt:
+                return self._coo_compare(other, np.array_equal)
+            return self._coo_compare(
+                other, lambda av, bv: bool(np.array_equal(
+                    av.astype(common.np_type), bv.astype(common.np_type))))
         a_vals, a_ok = self._host_arrays()
         b_vals, b_ok = other._host_arrays()
         if not np.array_equal(a_ok, b_ok):
@@ -287,6 +304,10 @@ class Collection(BaseType):
             return False
         if self.shape != other.shape:
             return False
+        if self._sparse is not None or getattr(other, "_sparse", None) is not None:
+            return self._coo_compare(
+                other, lambda av, bv: bool(np.all(
+                    np.isclose(av, bv, rtol=rel_tol, atol=abs_tol))))
         a_vals, a_ok = self._host_arrays()
         b_vals, b_ok = other._host_arrays()
         if not np.array_equal(a_ok, b_ok):

@@ -108,6 +108,26 @@ def format_vector(v, type_name="gb.Vector"):
     return _with_grid(header, w, v, host_vals, host_ok, True)
 
 
+def _sparse_summary(header, sp, max_entries=10):
+    """Repr body for graph-scale sparse matrices: a truncated COO listing
+    instead of densifying into a grid (which the dense_limit guard forbids)."""
+    import numpy as np
+
+    k = min(max_entries, sp.cap)
+    ok = np.asarray(sp.ok[:k])
+    r = np.asarray(sp.rowids[:k])[ok]
+    c = np.asarray(sp.cols[:k])[ok]
+    if isinstance(sp.vals, dict):
+        vals = ["{...}"] * len(r)
+    else:
+        vals = [str(x.item() if hasattr(x, "item") else x)
+                for x in np.asarray(sp.vals[:k])[ok]]
+    lines = [f"  ({i}, {j})\t{v}" for i, j, v in zip(r, c, vals)]
+    if len(lines) == max_entries:
+        lines.append("  ...")
+    return header + "\n" + "\n".join(lines)
+
+
 def format_matrix(m, type_name="gb.Matrix"):
     name = f'"{m.name}"' if m.name else type_name
     header, w = _header(
@@ -117,6 +137,11 @@ def format_matrix(m, type_name="gb.Matrix"):
          ("format", m.ss.format)])
     if m.nrows == 0 or m.ncols == 0 or m.dtype._is_udt:
         return header
+    if m._sparse is not None:
+        from .config import config
+
+        if m.nrows * m.ncols > int(config.get("dense_limit", 1 << 26)):
+            return _sparse_summary(header, m._sparse)
     host_vals, host_ok = m._host_arrays()
     return _with_grid(header, w, m, host_vals, host_ok, False)
 
@@ -133,6 +158,11 @@ def format_transposed(t):
          ("format", "bitmapc")])
     if t.nrows == 0 or t.ncols == 0 or m.dtype._is_udt:
         return header
+    if m._sparse is not None:
+        from .config import config
+
+        if m.nrows * m.ncols > int(config.get("dense_limit", 1 << 26)):
+            return _sparse_summary(header, m._sparse)
     host_vals, host_ok = m._host_arrays()
 
     class _Shim:
@@ -229,6 +259,12 @@ def format_matrix_html(m, mask=None):
               f"ncols={m.ncols}, dtype={m.dtype.name}, format=bitmap")
     if m.nrows == 0 or m.ncols == 0 or m.dtype._is_udt:
         return f"<div>{header}</div>"
+    if m._sparse is not None:
+        from .config import config
+
+        if m.nrows * m.ncols > int(config.get("dense_limit", 1 << 26)):
+            body = _sparse_summary("", m._sparse).replace("\n", "<br>")
+            return f"<div>{header}<pre>{body}</pre></div>"
     host_vals, host_ok = m._host_arrays()
     return f"<div>{header}{_html_grid(host_vals, host_ok, m.dtype, m.nrows, m.ncols)}</div>"
 

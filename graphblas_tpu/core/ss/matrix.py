@@ -41,7 +41,7 @@ class MatrixSS:
     # ------------------------------------------------------------------ #
     @property
     def format(self):
-        return "bitmapr"
+        return "csr" if self._parent._sparse is not None else "bitmapr"
 
     @property
     def orientation(self):
