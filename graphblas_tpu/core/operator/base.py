@@ -180,12 +180,17 @@ class OpBase:
     # ------------------------------------------------------------------ #
     @classmethod
     def _infer_return_dtype(cls, func, *input_dtypes):
-        """Trace func on zero scalars of the given dtypes to get the return dtype."""
+        """Trace func on abstract scalars of the given dtypes to get the return dtype.
+
+        Uses ShapeDtypeStruct avals — never concrete arrays — so type
+        inference does zero device work.  (Creating a concrete complex
+        scalar on a TPU backend enqueues an unsupported transfer whose
+        async error poisons the stream for every subsequent op.)
+        """
         import jax
-        import jax.numpy as jnp
 
         try:
-            args = [jnp.zeros((), dtype=t.np_type) for t in input_dtypes]
+            args = [jax.ShapeDtypeStruct((), t.np_type) for t in input_dtypes]
             out = jax.eval_shape(func, *args)
         except Exception as e:  # noqa: BLE001
             raise UdfParseError(

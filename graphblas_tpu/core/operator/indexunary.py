@@ -128,13 +128,15 @@ class IndexUnaryOp(OpBase):
             rt = dtype
         else:
             import jax
-            import jax.numpy as jnp
+            import numpy as np
 
+            # abstract avals only — concrete complex scalars poison a TPU stream
             args = [
-                jnp.zeros((), dtype.np_type),
-                jnp.zeros((), jnp.int64),
-                jnp.zeros((), jnp.int64),
-                jnp.zeros((), dtype2.np_type if not dtype2._is_udt else jnp.int64),
+                jax.ShapeDtypeStruct((), dtype.np_type),
+                jax.ShapeDtypeStruct((), np.int64),
+                jax.ShapeDtypeStruct((), np.int64),
+                jax.ShapeDtypeStruct(
+                    (), dtype2.np_type if not dtype2._is_udt else np.int64),
             ]
             out = jax.eval_shape(func, *args)
             rt = _dt.lookup_dtype(out.dtype)
