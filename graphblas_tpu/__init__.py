@@ -68,6 +68,9 @@ from .exceptions import GraphblasException  # noqa: E402, F401
 
 # operator namespaces
 from . import unary, binary, monoid, semiring, indexunary, select, op, agg  # noqa: E402
+from .core.operator.coercions import install as _install_coercions  # noqa: E402
+
+_install_coercions()
 
 # collections
 from .core.matrix import Matrix  # noqa: E402

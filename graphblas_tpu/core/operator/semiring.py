@@ -78,6 +78,15 @@ class Semiring(OpBase):
         # Build on demand for this dtype
         typed = self._build_typed(type_, type_)
         if typed is None:
+            from .coercions import bitwise_input_coercion
+
+            target = bitwise_input_coercion(self, type_)
+            if target is not None:
+                # signed-int inputs to bitwise semirings coerce to unsigned
+                # (reference semiring.py:453-460)
+                typed = self[target]
+                self._typed_ops[type_] = typed
+                return typed
             if self.is_positional:
                 return self[_dt.INT64]
             raise KeyError(f"{self.name} does not work with {type_}")
@@ -100,7 +109,28 @@ class Semiring(OpBase):
         try:
             typed_add = self._monoid[mult_ret]
         except KeyError:
-            return None
+            # SuiteSparse boolean renaming: plus→lor, times/min→land, max→lor
+            # when the additive monoid meets BOOL products (so e.g.
+            # plus_pair works on a BOOL adjacency matrix).
+            typed_add = None
+            if mult_ret == _dt.BOOL:
+                from .coercions import bool_monoid_substitute
+
+                sub = bool_monoid_substitute(self._monoid)
+                if sub is not None:
+                    try:
+                        typed_add = sub[_dt.BOOL]
+                    except KeyError:
+                        typed_add = None
+            elif (not mult_ret._is_udt
+                  and self._monoid.name in ("eq", "lor", "land", "lxor", "lxnor")
+                  and _dt.BOOL in self._monoid._typed_ops):
+                # BOOL-only monoid (eq/lor/land/...) with numeric products:
+                # products cast to BOOL before reduction (reference
+                # semiring.py:443-451 coerces these cells to the BOOL ring)
+                typed_add = self._monoid._typed_ops[_dt.BOOL]
+            if typed_add is None:
+                return None
         cls = TypedUserSemiring if self._anonymous else TypedBuiltinSemiring
         return cls(self, self.name, dtype, typed_add, typed_mult, type2=dtype2)
 

@@ -48,7 +48,10 @@ def test_monoid_identities():
     assert monoid.lor[dtypes.BOOL].identity is False
     assert monoid.land[dtypes.BOOL].identity is True
     assert monoid.band[dtypes.UINT8].identity == 255
-    assert set(monoid.lor.identities) == {dtypes.BOOL}
+    # coercion aliases add numeric keys that map to the BOOL typed op
+    # (reference monoid.py:413-431); identity is defined for BOOL
+    assert dtypes.BOOL in set(monoid.lor.identities)
+    assert monoid.lor[dtypes.INT64].type == dtypes.BOOL
 
 
 def test_semiring_lazy_build():
