@@ -481,3 +481,466 @@ def extract_element(sp_dyn, nrows, ncols, at, i, j):
     pos_c = jnp.minimum(pos, key.shape[0] - 1)
     hit = (key[pos_c] == target) & jnp.take(ok, pos_c)
     return st.tree_index(vals, pos_c), hit
+
+
+# ===================================================================== #
+# Round-2 scale engine: sorted-COO merge, masked write-back, extract/
+# assign, and general SpGEMM — the kernels the reference delegates to
+# SuiteSparse's eWise/assign/extract/AxB C engine (reference
+# core/matrix.py:1912-2130, 2811-3330, 2206).  All are pure XLA: sorts,
+# gathers, searchsorted, and segmented associative scans — no scatters in
+# hot paths, no dynamic shapes (caps are static power-of-two buckets).
+
+_I64 = jnp.int64
+
+
+def _enc(rowids, cols, ncols):
+    """Lexicographic (row, col) sort key; padding sentinels sort last."""
+    return rowids.astype(_I64) * (ncols + 1) + cols.astype(_I64)
+
+
+def _sent(nrows, ncols):
+    return _I64((nrows + 1)) * (ncols + 1)
+
+
+def csc_perm_of(rowids, cols, nrows, ncols):
+    """Permutation to (col, row) order; sentinel coords sort last."""
+    key = cols.astype(_I64) * (nrows + 1) + rowids.astype(_I64)
+    return jnp.argsort(key).astype(_IDX)
+
+
+def _zero_like_vals(vals):
+    return jax.tree_util.tree_map(jnp.zeros_like, vals)
+
+
+def merge_slots(a_dyn, b_dyn, nrows, ncols):
+    """Align two sorted-COO stores on the union of their coordinates.
+
+    Returns a dict of per-slot arrays over cap_a+cap_b merged slots, sorted
+    by (row, col) with 'a' entries preceding 'b' entries of equal key:
+      ks        int64 sort keys (invalid slots -> sentinel)
+      rows/cols decoded coordinates (sentinel slots -> (nrows, ncols))
+      is_b      slot came from b
+      a_val     a's value at the slot (meaningful when ~is_b)
+      b_val     b's value at the slot (meaningful when is_b)
+      b_pair    b's value at slot t+1 (the b side of a pair rooted at t)
+      paired    slot t is the a side of an (a, b) coordinate match
+      dup_b     slot t is the b side of a match (always dropped by callers)
+      valid     slot carries a real (non-sentinel) entry
+    """
+    ar, ac, av, aok, _ = a_dyn
+    br, bc, bv, bok, _ = b_dyn
+    cap_a = ar.shape[0]
+    sent = _sent(nrows, ncols)
+    ka = jnp.where(aok, _enc(ar, ac, ncols), sent)
+    kb = jnp.where(bok, _enc(br, bc, ncols), sent)
+    k = jnp.concatenate([ka, kb])
+    src_b = jnp.concatenate([jnp.zeros(cap_a, bool),
+                             jnp.ones(kb.shape[0], bool)])
+    # stable (key, source) order: a precedes b on equal keys
+    order = jnp.argsort(k * 2 + src_b)
+    ks = jnp.take(k, order)
+    is_b = jnp.take(src_b, order)
+    valid = ks < sent
+    a_idx = jnp.clip(order, 0, cap_a - 1)
+    b_idx = jnp.clip(order - cap_a, 0, br.shape[0] - 1)
+    a_val = st.tree_take(av, a_idx, 0)
+    b_val = st.tree_take(bv, b_idx, 0)
+    nxt_same = jnp.concatenate([(ks[1:] == ks[:-1]) & valid[:-1],
+                                jnp.zeros(1, bool)])
+    prv_same = jnp.concatenate([jnp.zeros(1, bool), ks[1:] == ks[:-1]]) & valid
+    b_pair = jax.tree_util.tree_map(lambda x: jnp.roll(x, -1, axis=0), b_val)
+    rows = jnp.minimum(ks // (ncols + 1), nrows).astype(_IDX)
+    cols_out = jnp.where(valid, ks % (ncols + 1), ncols).astype(_IDX)
+    return {
+        "ks": ks, "rows": rows, "cols": cols_out, "is_b": is_b,
+        "a_val": a_val, "b_val": b_val, "b_pair": b_pair,
+        "paired": nxt_same & ~is_b, "dup_b": prv_same & is_b, "valid": valid,
+    }
+
+
+def merge_ewise(a_dyn, b_dyn, nrows, ncols, variant, op, a_dt, b_dt, out_dt,
+                lr=None):
+    """ewise mult/add/union over two sparse stores with different
+    structures (reference matrix.py:1912-2130 -> GrB_eWise*)."""
+    m = merge_slots(a_dyn, b_dyn, nrows, ncols)
+    pos = {"i": m["rows"].astype(_I64), "j": m["cols"].astype(_I64)}
+    combined = dense.apply_binop(op, m["a_val"], a_dt, m["b_pair"], b_dt,
+                                 pos=pos)
+    combined = st.cast_values(combined, op.return_type, out_dt)
+    if variant == "mult":
+        out_ok = m["paired"]
+        vals = st.where_values(m["paired"], combined,
+                               st.cast_values(_zero_like_vals(m["a_val"]),
+                                              a_dt, out_dt))
+    else:
+        single_b = m["is_b"] & ~m["dup_b"] & m["valid"]
+        if variant == "add":
+            a_pass = st.cast_values(m["a_val"], a_dt, out_dt)
+            b_pass = st.cast_values(m["b_val"], b_dt, out_dt)
+        else:  # union: singles pair with the defaults
+            ldef, ldt, rdef, rdt = lr
+            ldef_b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, m["ks"].shape + x.shape), ldef)
+            rdef_b = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, m["ks"].shape + x.shape), rdef)
+            a_pass = st.cast_values(
+                dense.apply_binop(op, m["a_val"], a_dt, rdef_b, rdt, pos=pos),
+                op.return_type, out_dt)
+            b_pass = st.cast_values(
+                dense.apply_binop(op, ldef_b, ldt, m["b_val"], b_dt, pos=pos),
+                op.return_type, out_dt)
+        vals = st.where_values(m["paired"], combined,
+                               st.where_values(single_b, b_pass, a_pass))
+        out_ok = m["valid"] & ~m["dup_b"]
+    csc = csc_perm_of(m["rows"], m["cols"], nrows, ncols)
+    return (m["rows"], m["cols"], vals, out_ok, csc)
+
+
+# --------------------------------------------------------------------- #
+# mask evaluation at sparse coordinates
+def mask_at(m_dyn, m_dt, structure, complement, nrows, ncols, rowids, cols):
+    """Evaluate a (possibly complemented, value or structural) mask whose
+    parent is sparse-backed at the given coordinates.  Membership by binary
+    search over the mask's sorted keys; checks slot p and p+1 so stores
+    whose first-of-equal-keys slot is invalid still answer correctly."""
+    mr, mc, mv, mok, _ = m_dyn
+    mkey = _enc(mr, mc, ncols)
+    target = _enc(rowids, cols, ncols)
+    cap = mkey.shape[0]
+    p = jnp.searchsorted(mkey, target, side="left")
+
+    def present_at(pp):
+        pc = jnp.minimum(pp, cap - 1)
+        hit = (jnp.take(mkey, pc) == target) & jnp.take(mok, pc)
+        if not structure:
+            val = st.tree_take(mv, pc, 0)
+            hit = hit & dense.truthy(val, m_dt)
+        return hit
+
+    m = present_at(p) | present_at(p + 1)
+    return ~m if complement else m
+
+
+def dense_mask_at(mask_arr, rowids, cols):
+    """Gather a dense (already complement-resolved) mask plane at coords."""
+    if mask_arr.ndim == 1:
+        return jnp.take(mask_arr, rowids, mode="fill", fill_value=False)
+    flat = mask_arr.ravel()
+    idx = rowids.astype(_I64) * mask_arr.shape[1] + cols.astype(_I64)
+    idx = jnp.where((rowids < mask_arr.shape[0]) & (cols < mask_arr.shape[1]),
+                    idx, 0)
+    got = jnp.take(flat, idx)
+    return got & (rowids < mask_arr.shape[0]) & (cols < mask_arr.shape[1])
+
+
+# --------------------------------------------------------------------- #
+# masked/accum write-back onto a sparse target (reference base.py:318-494)
+def write_back_sparse(c_dyn, z_dyn, nrows, ncols, c_dt, z_dt, accum, replace,
+                      mask_fn):
+    """out = GraphBLAS update of sparse C by sparse Z under (mask, accum,
+    replace).  mask_fn(rows, cols) -> bool per merged slot, or None."""
+    m = merge_slots(c_dyn, z_dyn, nrows, ncols)
+    has_c = ~m["is_b"] & m["valid"]
+    has_z = m["paired"] | (m["is_b"] & ~m["dup_b"] & m["valid"])
+    z_here = st.where_values(m["paired"], m["b_pair"], m["b_val"])
+    if mask_fn is None:
+        msk = jnp.ones_like(m["valid"])
+    else:
+        msk = mask_fn(m["rows"], m["cols"])
+    c_cast = st.cast_values(m["a_val"], c_dt, c_dt)
+    z_cast = st.cast_values(z_here, z_dt, c_dt)
+    if accum is None:
+        out_ok = jnp.where(msk, has_z, has_c & (not replace))
+        vals = st.where_values(msk & has_z, z_cast, c_cast)
+    else:
+        pos = {"i": m["rows"].astype(_I64), "j": m["cols"].astype(_I64)}
+        both = dense.apply_binop(accum, m["a_val"], c_dt, z_here, z_dt, pos=pos)
+        both = st.cast_values(both, accum.return_type, c_dt)
+        out_ok = jnp.where(msk, has_c | has_z, has_c & (not replace))
+        vals = st.where_values(msk & has_c & has_z, both,
+                               st.where_values(msk & has_z & ~has_c, z_cast,
+                                               c_cast))
+    out_ok = out_ok & ~m["dup_b"]
+    csc = csc_perm_of(m["rows"], m["cols"], nrows, ncols)
+    return (m["rows"], m["cols"], vals, out_ok, csc)
+
+
+# --------------------------------------------------------------------- #
+# compaction: shrink a store to a smaller capacity bucket, keeping order
+def compact(dyn, nrows, ncols, new_cap):
+    rowids, cols, vals, ok, _ = dyn
+    sent = _sent(nrows, ncols)
+    key = jnp.where(ok, _enc(rowids, cols, ncols), sent)
+    order = jnp.argsort(key)[:new_cap]
+    ks = jnp.take(key, order)
+    valid = ks < sent
+    r = jnp.minimum(ks // (ncols + 1), nrows).astype(_IDX)
+    c = jnp.where(valid, ks % (ncols + 1), ncols).astype(_IDX)
+    v = st.tree_take(vals, order, 0)
+    return (r, c, v, valid, csc_perm_of(r, c, nrows, ncols))
+
+
+# --------------------------------------------------------------------- #
+# extract (reference matrix.py:2811-3330 -> GrB_Matrix_extract)
+def extract_submatrix(sp_dyn, nrows, ncols, at, rows, cols, out_nrows,
+                      out_ncols):
+    """A[rows, cols] on a sparse store with unique index arrays: inverse
+    maps + key re-sort.  O(nnz + nrows + ncols), no densification."""
+    rowids, cids, vals, ok, _ = sp_dyn
+    eff_r, eff_c = (cids, rowids) if at else (rowids, cids)
+    inv_r = jnp.full(nrows + 1, -1, _IDX).at[rows].set(
+        jnp.arange(rows.shape[0], dtype=_IDX), mode="drop")
+    inv_c = jnp.full(ncols + 1, -1, _IDX).at[cols].set(
+        jnp.arange(cols.shape[0], dtype=_IDX), mode="drop")
+    nr = jnp.take(inv_r, jnp.minimum(eff_r, nrows))
+    nc = jnp.take(inv_c, jnp.minimum(eff_c, ncols))
+    keep = ok & (nr >= 0) & (nc >= 0)
+    sent = _sent(out_nrows, out_ncols)
+    key = jnp.where(keep, nr.astype(_I64) * (out_ncols + 1) + nc, sent)
+    order = jnp.argsort(key)
+    ks = jnp.take(key, order)
+    valid = ks < sent
+    r = jnp.minimum(ks // (out_ncols + 1), out_nrows).astype(_IDX)
+    c = jnp.where(valid, ks % (out_ncols + 1), out_ncols).astype(_IDX)
+    v = st.tree_take(vals, order, 0)
+    return (r, c, v, valid, csc_perm_of(r, c, out_nrows, out_ncols))
+
+
+def extract_rowcol_dense(sp_dyn, nrows, ncols, at, fixed_index, idx, axis_row):
+    """A[i, cols] (axis_row) or A[rows, j]: one line of a sparse matrix
+    gathered into a dense vector store of len(idx)."""
+    rowids, cids, vals, ok, _ = sp_dyn
+    eff_r, eff_c = (cids, rowids) if at else (rowids, cids)
+    if axis_row:
+        line_ids, within = eff_r, eff_c
+        line_len = ncols if not at else nrows
+    else:
+        line_ids, within = eff_c, eff_r
+        line_len = nrows if not at else ncols
+    on_line = ok & (line_ids == fixed_index.astype(line_ids.dtype))
+    slot = jnp.where(on_line, within.astype(_I64), line_len)
+    line_vals = jax.tree_util.tree_map(
+        lambda v: jnp.zeros((line_len + 1,) + v.shape[1:], v.dtype)
+        .at[slot].set(v, mode="drop"),
+        vals)
+    line_ok = jnp.zeros(line_len + 1, bool).at[slot].set(on_line, mode="drop")
+    take_idx = jnp.minimum(idx, line_len)
+    out_vals = st.tree_take(line_vals, take_idx, 0)
+    out_ok = jnp.take(line_ok, take_idx)
+    return out_vals, out_ok
+
+
+# --------------------------------------------------------------------- #
+# general sparse SpGEMM (reference matrix.py:2206 -> GrB_mxm; the capped
+# Gustavson expansion replaces SuiteSparse's two-phase saxpy kernel)
+def _b_ksorted(b_dyn, bt):
+    """B's edges in contraction-index (effective-row) sorted order."""
+    rowids, cols, vals, ok, csc_perm = b_dyn
+    if not bt:
+        # stored (row, col) order: effective rows already sorted
+        return rowids, cols, vals, ok
+    k_ids = jnp.take(cols, csc_perm)
+    j_ids = jnp.take(rowids, csc_perm)
+    return k_ids, j_ids, st.tree_take(vals, csc_perm, 0), jnp.take(ok, csc_perm)
+
+
+def spgemm_total(a_dyn, b_dyn, at, bt, k_dim):
+    """Phase 1: upper bound on the number of expanded products (device
+    scalar).  The host reads this once per mxm dispatch to pick the
+    product-buffer capacity bucket — the TPU analog of SuiteSparse's
+    symbolic/numeric two-phase SpGEMM."""
+    a_rows, a_cols, _, a_ok, _ = a_dyn
+    a_k = a_rows if at else a_cols
+    b_k, _, _, _ = _b_ksorted(b_dyn, bt)
+    indptr_b = jnp.searchsorted(b_k, jnp.arange(k_dim + 1, dtype=b_k.dtype))
+    rowlen = indptr_b[1:] - indptr_b[:-1]
+    counts = jnp.where(a_ok, jnp.take(rowlen, jnp.minimum(a_k, k_dim - 1),
+                                      mode="clip"), 0)
+    return jnp.sum(counts.astype(_I64))
+
+
+def spgemm(a_dyn, b_dyn, at, bt, ring, a_dt, b_dt, out_nrows, out_ncols,
+           k_dim, cap_p, mask_fn=None):
+    """Phase 2: expand A-edge x B-row products into a cap_p buffer, sort by
+    output coordinate, and monoid-combine equal coordinates with a
+    segmented associative scan.  mask_fn filters products before the sort
+    (mask pushdown: nothing O(nrows*ncols) is ever materialized)."""
+    mult = ring.binaryop
+    mono = ring.monoid
+    a_rows, a_cols, a_vals, a_ok, _ = a_dyn
+    a_i = a_cols if at else a_rows
+    a_k = a_rows if at else a_cols
+    b_k, b_j, b_vals, b_ok = _b_ksorted(b_dyn, bt)
+    cap_a = a_i.shape[0]
+    cap_b = b_k.shape[0]
+    indptr_b = jnp.searchsorted(b_k, jnp.arange(k_dim + 1, dtype=b_k.dtype))
+    rowlen = indptr_b[1:] - indptr_b[:-1]
+    counts = jnp.where(a_ok, jnp.take(rowlen, jnp.minimum(a_k, k_dim - 1),
+                                      mode="clip"), 0).astype(_I64)
+    cum = jnp.concatenate([jnp.zeros(1, _I64), jnp.cumsum(counts)])
+    total = cum[-1]
+    p = jnp.arange(cap_p, dtype=_I64)
+    e = jnp.clip(jnp.searchsorted(cum, p, side="right") - 1, 0, cap_a - 1)
+    t = p - jnp.take(cum, e)
+    ok_p = (p < total) & jnp.take(a_ok, e) & (t < jnp.take(counts, e))
+    start = jnp.take(indptr_b, jnp.minimum(jnp.take(a_k, e), k_dim - 1),
+                     mode="clip").astype(_I64)
+    b_slot = jnp.clip(start + t, 0, cap_b - 1)
+    ok_p = ok_p & jnp.take(b_ok, b_slot)
+    i = jnp.take(a_i, e)
+    j = jnp.take(b_j, b_slot)
+    if mask_fn is not None:
+        ok_p = ok_p & mask_fn(i, j)
+    pos = {"i": i.astype(_I64), "j": j.astype(_I64),
+           "k": jnp.take(a_k, e).astype(_I64)}
+    av = st.tree_take(a_vals, e, 0)
+    bv = st.tree_take(b_vals, b_slot, 0)
+    prods = dense.apply_binop(mult, av, a_dt, bv, b_dt, pos=pos,
+                              context_map=dense._MATMUL_MAP)
+    prods = st.cast_values(prods, mult.return_type, mono.type)
+    # sort products by output coordinate; invalid -> sentinel tail
+    sent = _sent(out_nrows, out_ncols)
+    key = jnp.where(ok_p, i.astype(_I64) * (out_ncols + 1) + j.astype(_I64),
+                    sent)
+    order = jnp.argsort(key)
+    ks = jnp.take(key, order)
+    pv = st.tree_take(prods, order, 0)
+    # segmented combine: within a run of equal keys every slot is valid
+    combine = mono._jax_func
+
+    def comb(a, b):
+        avl, akey = a
+        bvl, bkey = b
+        return st.where_values(akey == bkey, combine_tree(avl, bvl), bvl), bkey
+
+    def combine_tree(x, y):
+        if isinstance(x, dict):
+            return combine(x, y)
+        return combine(x, y)
+
+    sv, _ = jax.lax.associative_scan(comb, (pv, ks))
+    valid = ks < sent
+    is_last = jnp.concatenate([ks[:-1] != ks[1:], jnp.ones(1, bool)]) & valid
+    rows = jnp.minimum(ks // (out_ncols + 1), out_nrows).astype(_IDX)
+    cols = jnp.where(valid, ks % (out_ncols + 1), out_ncols).astype(_IDX)
+    return (rows, cols, sv, is_last, csc_perm_of(rows, cols, out_nrows,
+                                                 out_ncols))
+
+
+# --------------------------------------------------------------------- #
+# assign (reference matrix.py:2905+ -> GrB_Matrix_assign / GxB_subassign)
+def region_store(rows, cols, v_vals, v_ok, nrows, ncols):
+    """Scatter a dense region-shaped value plane onto C-space coordinates,
+    returning a sorted padded-COO dyn of cap len(rows)*len(cols)."""
+    R = rows.shape[0]
+    C = cols.shape[0]
+    ridx = jnp.arange(R * C, dtype=_I64) // C
+    cidx = jnp.arange(R * C, dtype=_I64) % C
+    rr = jnp.take(rows, ridx).astype(_IDX)
+    cc = jnp.take(cols, cidx).astype(_IDX)
+    flat_ok = v_ok.reshape(R * C)
+    flat_vals = jax.tree_util.tree_map(
+        lambda a: a.reshape((R * C,) + a.shape[v_ok.ndim:]), v_vals)
+    sent = _sent(nrows, ncols)
+    key = jnp.where(flat_ok, _enc(rr, cc, ncols), sent)
+    order = jnp.argsort(key)
+    ks = jnp.take(key, order)
+    valid = ks < sent
+    r = jnp.minimum(ks // (ncols + 1), nrows).astype(_IDX)
+    c = jnp.where(valid, ks % (ncols + 1), ncols).astype(_IDX)
+    v = st.tree_take(flat_vals, order, 0)
+    return (r, c, v, valid, csc_perm_of(r, c, nrows, ncols))
+
+
+def assign_sparse(c_dyn, z_dyn, nrows, ncols, c_dt, z_dt, accum, replace,
+                  mask_fn, in_region_fn, submask):
+    """Assign sparse/dense-region content Z into sparse C.
+
+    Semantics (GrB_assign): Zplane = C with the region's content replaced
+    by Z (accum merges within the region); then the standard
+    mask/replace write of Zplane into C.  GxB_subassign (submask) scopes
+    mask and replace to the region only."""
+    m = merge_slots(c_dyn, z_dyn, nrows, ncols)
+    has_c = ~m["is_b"] & m["valid"]
+    has_z = m["paired"] | (m["is_b"] & ~m["dup_b"] & m["valid"])
+    z_here = st.where_values(m["paired"], m["b_pair"], m["b_val"])
+    in_region = in_region_fn(m["rows"], m["cols"]) | has_z
+    msk = (jnp.ones_like(m["valid"]) if mask_fn is None
+           else mask_fn(m["rows"], m["cols"]))
+    c_val = m["a_val"]
+    z_cast = st.cast_values(z_here, z_dt, c_dt)
+    if accum is None:
+        zp_ok = jnp.where(in_region, has_z, has_c)
+        zp_val = st.where_values(in_region & has_z, z_cast, c_val)
+    else:
+        pos = {"i": m["rows"].astype(_I64), "j": m["cols"].astype(_I64)}
+        both = dense.apply_binop(accum, c_val, c_dt, z_here, z_dt, pos=pos)
+        both = st.cast_values(both, accum.return_type, c_dt)
+        zp_ok = jnp.where(in_region, has_c | has_z, has_c)
+        zp_val = st.where_values(in_region & has_c & has_z, both,
+                                 st.where_values(in_region & has_z & ~has_c,
+                                                 z_cast, c_val))
+    if submask:
+        take_zp = in_region & msk
+        out_ok = jnp.where(in_region,
+                           jnp.where(msk, zp_ok, has_c & (not replace)),
+                           has_c)
+    else:
+        take_zp = msk
+        out_ok = jnp.where(msk, zp_ok, has_c & (not replace))
+    vals = st.where_values(take_zp, zp_val, c_val)
+    out_ok = out_ok & ~m["dup_b"]
+    csc = csc_perm_of(m["rows"], m["cols"], nrows, ncols)
+    return (m["rows"], m["cols"], vals, out_ok, csc)
+
+
+def membership_fn(idx_arrays, nrows, ncols):
+    """in_region(rows, cols) from per-axis index arrays (device)."""
+    rows_arr, cols_arr = idx_arrays
+    in_r = jnp.zeros(nrows + 1, bool).at[rows_arr].set(True, mode="drop")
+    in_c = jnp.zeros(ncols + 1, bool).at[cols_arr].set(True, mode="drop")
+
+    def fn(r, c):
+        return (jnp.take(in_r, jnp.minimum(r, nrows))
+                & jnp.take(in_c, jnp.minimum(c, ncols)))
+
+    return fn
+
+
+def ewise_mult_sparse_dense(sp_dyn, at, op, sp_dt, d_vals, d_valid, d_dt,
+                            sparse_left=True):
+    """Sparse .* dense-bitmap: gather the dense plane at the sparse
+    coordinates (structure of the result is a subset of the sparse one)."""
+    rowids, cols, vals, ok, csc_perm = sp_dyn
+    i = cols if at else rowids
+    j = rowids if at else cols
+    nr = d_valid.shape[0]
+    nc = d_valid.shape[1] if d_valid.ndim > 1 else 1
+    flat_idx = jnp.minimum(i.astype(_I64), nr - 1) * nc + jnp.minimum(
+        j.astype(_I64), nc - 1)
+    dv = st.tree_take(
+        jax.tree_util.tree_map(lambda a: a.reshape((nr * nc,) + a.shape[2:]),
+                               d_vals), flat_idx, 0)
+    d_ok = jnp.take(d_valid.reshape(nr * nc), flat_idx)
+    d_ok = d_ok & (i < nr) & (j < nc)
+    pos = {"i": i.astype(_I64), "j": j.astype(_I64)}
+    if sparse_left:
+        out = dense.apply_binop(op, vals, sp_dt, dv, d_dt, pos=pos)
+    else:
+        out = dense.apply_binop(op, dv, d_dt, vals, sp_dt, pos=pos)
+    return (rowids, cols, out, ok & d_ok, csc_perm)
+
+
+def densify_dyn(dyn, nrows, ncols, dtype):
+    """Dyn-tuple variant of densify() usable inside jit."""
+    rowids, cols, vals, ok, _ = dyn
+    shape = (nrows, ncols)
+    out_vals = st.zeros_values(shape, dtype)
+    valid = jnp.zeros(shape, bool).at[rowids, cols].set(ok, mode="drop")
+    if isinstance(vals, dict):
+        out_vals = {k: out_vals[k].at[rowids, cols].set(v, mode="drop")
+                    for k, v in vals.items()}
+    else:
+        out_vals = out_vals.at[rowids, cols].set(vals, mode="drop")
+    return out_vals, valid

@@ -96,22 +96,30 @@ def _format_plan(expr):
     if m in ("apply", "apply_indexunary", "select", "copy", "transpose"):
         return "sparse"
     if m == "mxm":
-        a, b = expr.args
-        a_sp = a._sparse if isinstance(a, BaseType) else None
-        b_sp = b._sparse if isinstance(b, BaseType) else None
-        if (a_sp is not None and a_sp.is_diag) or (b_sp is not None and b_sp.is_diag):
-            return "sparse"
-        return "densify"
+        # diag fast path and general sparse SpGEMM both produce sparse
+        return "sparse"
+    if m == "extract":
+        pattern = expr._statics[1]
+        if pattern == "mat":
+            unique = expr._statics[3] if len(expr._statics) > 3 else False
+            return "sparse" if unique else "densify"
+        return "inline"  # row/col gather into a dense vector
     if m in ("ewise_mult", "ewise_add", "ewise_union"):
         statics = expr._statics
         at, bt, a_bc, b_bc = statics[3], statics[4], statics[7], statics[8]
         if (a_bc or b_bc) and m == "ewise_mult":
             return "sparse"
+        if a_bc or b_bc:
+            return "densify"
         a, b = expr.args[0], expr.args[1]
-        if (isinstance(a, BaseType) and isinstance(b, BaseType)
-                and a._sparse is not None and b._sparse is not None
-                and a._sparse.token == b._sparse.token and at == bt):
+        both = (isinstance(a, BaseType) and isinstance(b, BaseType)
+                and a._sparse is not None and b._sparse is not None)
+        if both:
+            return "sparse"  # same-structure fast path or sorted-COO merge
+        if m == "ewise_mult":
+            # sparse .* dense: gather the dense plane at sparse coords
             return "sparse"
+        # add/union with a dense operand has a dense-sized result anyway
         return "densify"
     return "densify"
 
@@ -182,10 +190,118 @@ def _inline_sparse_impl(expr):
                                        dyn[1], dyn[2])
 
         return impl
+    if m == "extract":
+        # A[i, cols] / A[rows, j] on a sparse store -> dense vector
+        a_dt, pattern, tflag = expr._statics[:3]
+        sp = expr.args[0]._sparse
+        nrows, ncols = sp.nrows, sp.ncols
+        if pattern == "row":
+            def impl(e, dyn):
+                return spx.extract_rowcol_dense(dyn[0], nrows, ncols, tflag,
+                                                dyn[1][0], dyn[2], True)
+        else:
+            def impl(e, dyn):
+                return spx.extract_rowcol_dense(dyn[0], nrows, ncols, tflag,
+                                                dyn[2][0], dyn[1], False)
+
+        return impl
     raise AssertionError(f"no inline sparse impl for {m}")
 
 
-def _sparse_out_run(expr, out_dtype):
+def _maybe_compact(sp):
+    """Shrink an oversized store to its nvals capacity bucket.  Costs one
+    scalar host read per public dispatch (the symbolic/numeric sync the
+    reference pays inside SuiteSparse's two-phase kernels)."""
+    n = sp.nvals()
+    new_cap = spx._round_capacity(max(n, 1))
+    if new_cap >= sp.cap:
+        return sp
+    key = ("compact", sp.cap, new_cap, sp.nrows, sp.ncols,
+           jax.tree_util.tree_structure(sp.vals))
+
+    def fn(dyn):
+        return spx.compact(dyn, sp.nrows, sp.ncols, new_cap)
+
+    out_dyn = _run(key, fn, sp._dyn())
+    return spx.SparseStore(*out_dyn, sp.nrows, sp.ncols)
+
+
+def _coord_mask_parts(mask):
+    """(statics, dyn, builder) for evaluating a mask at sparse coordinates
+    inside a jitted kernel.  builder(mask_dyn, rows, cols) -> bool[slots]."""
+    if mask is None:
+        return None, None, None
+    parent = mask.parent
+    structure, complement = mask.structure, mask.complement
+    m_dt = parent.dtype
+    if parent._sparse is not None:
+        msp = parent._sparse
+        statics = ("spmask", msp.cap, msp.nrows, msp.ncols, structure,
+                   complement, m_dt)
+        nrows, ncols = msp.nrows, msp.ncols
+
+        def builder(m_dyn, rows, cols):
+            return spx.mask_at(m_dyn, m_dt, structure, complement,
+                               nrows, ncols, rows, cols)
+
+        return statics, msp._dyn(), builder
+    statics = ("dmask", parent.shape, structure, complement, m_dt)
+
+    def builder(m_dyn, rows, cols):
+        m_vals, m_valid = m_dyn
+        arr = dense.mask_array(m_vals, m_valid, m_dt, structure, complement)
+        return spx.dense_mask_at(arr, rows, cols)
+
+    return statics, (parent._vals, parent._valid), builder
+
+
+def _spgemm_run(expr, out_dtype, mask=None):
+    """General sparse x sparse mxm with mask pushdown (VERDICT missing #1).
+
+    Two-phase: a jitted symbolic pass bounds the expanded-product count,
+    the host picks a capacity bucket, and the numeric kernel (cached per
+    bucket) expands/sorts/combines.  A mask filters products before the
+    sort so nothing O(nrows*ncols) is ever materialized."""
+    _, a_dt, b_dt, at, bt = expr._statics
+    a, b = expr.args
+    if a._sparse is None:
+        _sparsify(a)
+    if b._sparse is None:
+        _sparsify(b)
+    a_sp, b_sp = a._sparse, b._sparse
+    at, bt = bool(at), bool(bt)
+    out_nrows = a_sp.ncols if at else a_sp.nrows
+    out_ncols = b_sp.nrows if bt else b_sp.ncols
+    k_dim = a_sp.nrows if at else a_sp.ncols
+    key1 = ("spgemm_total", a_sp._statics(), b_sp._statics(), at, bt, k_dim)
+
+    def fn1(a_dyn, b_dyn):
+        return spx.spgemm_total(a_dyn, b_dyn, at, bt, max(k_dim, 1))
+
+    total = int(np.asarray(_run(key1, fn1, a_sp._dyn(), b_sp._dyn())))
+    cap_p = spx._round_capacity(max(total, 1))
+    ms, m_dyn, m_builder = _coord_mask_parts(mask)
+    z_dt = expr.dtype
+
+    def fn2(a_dyn, b_dyn, mask_dyn):
+        mask_fn = None
+        if m_builder is not None:
+            def mask_fn(i, j):  # noqa: E306
+                return m_builder(mask_dyn, i, j)
+        out = spx.spgemm(a_dyn, b_dyn, at, bt, expr.op, a_dt, b_dt,
+                         out_nrows, out_ncols, max(k_dim, 1), cap_p,
+                         mask_fn=mask_fn)
+        if out_dtype != z_dt:
+            return spx.cast_copy(out, z_dt, out_dtype)
+        return out
+
+    key2 = ("spgemm", expr._key(), out_dtype, cap_p, ms)
+    out_dyn = _run(key2, fn2, a_sp._dyn(), b_sp._dyn(), m_dyn)
+    out_sp = spx.SparseStore(*out_dyn, out_nrows, out_ncols)
+    return _maybe_compact(out_sp)
+
+
+def _sparse_out_run(expr, out_dtype, mask=None):
     """Execute a 'sparse'-plan expression; returns the result SparseStore."""
     m = expr.method_name
     statics = expr._statics
@@ -230,27 +346,48 @@ def _sparse_out_run(expr, out_dtype):
         a, b = expr.args
         a_sp, b_sp = a._sparse, b._sparse
         left_diag = a_sp is not None and a_sp.is_diag
-        # align the non-diag operand to sparse
-        other = b if left_diag else a
-        if other._sparse is None:
-            _sparsify(other)
-        o_sp = other._sparse
-        tflag = bool(bt if left_diag else at)
-        d_dt = a_dt if left_diag else b_dt
-        o_dt = b_dt if left_diag else a_dt
+        right_diag = b_sp is not None and b_sp.is_diag
+        if left_diag or right_diag:
+            # diagonal row/col scaling fast path
+            other = b if left_diag else a
+            if other._sparse is None:
+                _sparsify(other)
+            o_sp = other._sparse
+            tflag = bool(bt if left_diag else at)
+            d_dt = a_dt if left_diag else b_dt
+            o_dt = b_dt if left_diag else a_dt
 
-        def fn(a_dyn, b_dyn):
-            o_dyn, d_dyn = (b_dyn, a_dyn) if left_diag else (a_dyn, b_dyn)
-            out = spx.mxm_diag(o_dyn, d_dyn, left_diag, tflag, expr.op,
-                               o_dt, d_dt)
-            return _cast(out)
+            def fn(a_dyn, b_dyn):
+                o_dyn, d_dyn = (b_dyn, a_dyn) if left_diag else (a_dyn, b_dyn)
+                out = spx.mxm_diag(o_dyn, d_dyn, left_diag, tflag, expr.op,
+                                   o_dt, d_dt)
+                return _cast(out)
 
-        nrows, ncols = ((o_sp.ncols, o_sp.nrows) if tflag
-                        else (o_sp.nrows, o_sp.ncols))
+            nrows, ncols = ((o_sp.ncols, o_sp.nrows) if tflag
+                            else (o_sp.nrows, o_sp.ncols))
+            key = ("sparse_out", expr._key(), out_dtype)
+            out_dyn = _run(key, fn, *expr._dyn())
+            return o_sp.with_store(out_dyn, same_structure=not tflag,
+                                   nrows=nrows, ncols=ncols)
+        return _spgemm_run(expr, out_dtype, mask)
+
+    if m == "extract":
+        a_dt = statics[0]
+        tflag = statics[2]
+        src = expr.args[0]
+        sp = src._sparse
+        s_nrows, s_ncols = sp.nrows, sp.ncols
+        out_nrows, out_ncols = expr._shape
+
+        def fn(a_dyn, rows, cols):
+            out = spx.extract_submatrix(a_dyn, s_nrows, s_ncols, tflag,
+                                        rows, cols, out_nrows, out_ncols)
+            return spx.cast_copy(out, a_dt, out_dtype)
+
         key = ("sparse_out", expr._key(), out_dtype)
         out_dyn = _run(key, fn, *expr._dyn())
-        return o_sp.with_store(out_dyn, same_structure=not tflag,
-                               nrows=nrows, ncols=ncols)
+        out_sp = spx.SparseStore(*out_dyn, out_nrows, out_ncols)
+        return _maybe_compact(out_sp)
 
     # ewise on sparse structure
     variant, a_dt, b_dt, at, bt, ldt, rdt, a_bc, b_bc = statics
@@ -277,21 +414,71 @@ def _sparse_out_run(expr, out_dtype):
         return sp.with_store(out_dyn, same_structure=not tflag,
                              nrows=nrows, ncols=ncols)
 
-    sp = a._sparse
-    tflag = bool(at)
+    a_sp, b_sp = a._sparse, b._sparse
+    if (a_sp is not None and b_sp is not None and a_sp.token == b_sp.token
+            and at == bt):
+        # identical structure: elementwise over aligned edge arrays
+        sp = a_sp
+        tflag = bool(at)
+
+        def fn(a_dyn, b_dyn, *rest):
+            ax = spx.transpose(a_dyn) if tflag else a_dyn
+            bx = spx.transpose(b_dyn) if tflag else b_dyn
+            out = spx.ewise_same_structure(ax, bx, variant, expr.op, a_dt,
+                                           b_dt, z_dt,
+                                           rest if variant == "union" else None)
+            return _cast(out)
+
+        nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
+        key = ("sparse_out", expr._key(), out_dtype)
+        out_dyn = _run(key, fn, *expr._dyn())
+        return sp.with_store(out_dyn, same_structure=not tflag,
+                             nrows=nrows, ncols=ncols)
+
+    if a_sp is None or b_sp is None:
+        # sparse .* dense: gather the dense plane at the sparse coords
+        assert variant == "mult"
+        sparse_left = a_sp is not None
+        sp = a_sp if sparse_left else b_sp
+        tflag = bool(at if sparse_left else bt)
+        o_t = bool(bt if sparse_left else at)
+        sp_dt = a_dt if sparse_left else b_dt
+        d_dt = b_dt if sparse_left else a_dt
+
+        def fn(a_dyn, b_dyn, *rest):
+            sp_dyn, d_store = (a_dyn, b_dyn) if sparse_left else (b_dyn, a_dyn)
+            d_vals, d_valid = d_store
+            if o_t:
+                d_vals, d_valid = dense.transpose(d_vals, d_valid)
+            out = spx.ewise_mult_sparse_dense(sp_dyn, tflag, expr.op, sp_dt,
+                                              d_vals, d_valid, d_dt,
+                                              sparse_left=sparse_left)
+            return _cast(out)
+
+        nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
+        key = ("sparse_out", expr._key(), out_dtype)
+        out_dyn = _run(key, fn, *expr._dyn())
+        return sp.with_store(out_dyn, same_structure=not tflag,
+                             nrows=nrows, ncols=ncols)
+
+    # different structures: sorted-COO merge (VERDICT missing #3)
+    nrows, ncols = expr._shape
+    a_t, b_t = bool(at), bool(bt)
 
     def fn(a_dyn, b_dyn, *rest):
-        ax = spx.transpose(a_dyn) if tflag else a_dyn
-        bx = spx.transpose(b_dyn) if tflag else b_dyn
-        out = spx.ewise_same_structure(ax, bx, variant, expr.op, a_dt, b_dt,
-                                       z_dt, rest if variant == "union" else None)
+        ax = spx.transpose(a_dyn) if a_t else a_dyn
+        bx = spx.transpose(b_dyn) if b_t else b_dyn
+        lr = None
+        if variant == "union":
+            lr = (rest[0], ldt, rest[1], rdt)
+        out = spx.merge_ewise(ax, bx, nrows, ncols, variant, expr.op,
+                              a_dt, b_dt, z_dt, lr=lr)
         return _cast(out)
 
-    nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
     key = ("sparse_out", expr._key(), out_dtype)
     out_dyn = _run(key, fn, *expr._dyn())
-    return sp.with_store(out_dyn, same_structure=not tflag,
-                         nrows=nrows, ncols=ncols)
+    out_sp = spx.SparseStore(*out_dyn, nrows, ncols)
+    return _maybe_compact(out_sp)
 
 
 # --------------------------------------------------------------------- #
@@ -313,13 +500,63 @@ def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None):
 def update_into(target, expr, *, mask=None, accum=None, replace=False):
     plan = _format_plan(expr)
     if plan == "sparse":
+        record(_record_line(target, expr, mask, accum, replace))
         if mask is None and accum is None:
-            record(_record_line(target, expr, mask, accum, replace))
             target._set_sparse_store(_sparse_out_run(expr, target.dtype))
             return
-        _densify_args(expr)
-        plan = None
-    elif plan == "densify":
+        # masked/accum write-back that keeps graph-scale stores O(nnz)
+        # (VERDICT missing #4; reference choke point core/base.py:318-494)
+        z_dtype = target.dtype if accum is None else expr.dtype
+        z_sp = _sparse_out_run(expr, z_dtype, mask=mask)
+        c_dt = target.dtype
+        typed_accum = None
+        if accum is not None:
+            typed_accum = get_typed_op(accum, c_dt, z_dtype, kind="binary")
+        if target._sparse is not None:
+            c_sp = target._sparse
+            ms, m_dyn, m_builder = _coord_mask_parts(mask)
+            nrows = c_sp.nrows
+            ncols = max(c_sp.ncols, 1)
+            key = ("update_sparse", c_sp._statics(), z_sp._statics(), c_dt,
+                   z_dtype, ms, typed_accum, bool(replace))
+
+            def fn(c_dyn, z_dyn, mask_dyn):
+                mask_fn = None
+                if m_builder is not None:
+                    def mask_fn(r, c):  # noqa: E306
+                        return m_builder(mask_dyn, r, c)
+                return spx.write_back_sparse(c_dyn, z_dyn, nrows, ncols,
+                                             c_dt, z_dtype, typed_accum,
+                                             bool(replace), mask_fn)
+
+            out_dyn = _run(key, fn, c_sp._dyn(), z_sp._dyn(), m_dyn)
+            target._set_sparse_store(
+                _maybe_compact(spx.SparseStore(*out_dyn, nrows, c_sp.ncols)))
+            return
+        # small dense-backed target: densify z inside the jit and use the
+        # dense write-back
+        ms = _mask_statics(mask)
+        nrows, ncols = (target.shape if target.ndim == 2
+                        else (target.shape[0], 1))
+        key = ("update_sp2dense", z_sp._statics(), c_dt, z_dtype, ms,
+               typed_accum, bool(replace), target.shape)
+        two_d = target.ndim == 2
+
+        def fn(c_store, mask_dyn, z_dyn):
+            z_vals, z_valid = spx.densify_dyn(z_dyn, nrows, ncols, z_dtype)
+            if not two_d:
+                z_vals = jax.tree_util.tree_map(lambda a: a[:, 0], z_vals)
+                z_valid = z_valid[:, 0]
+            mask_arr = _mask_arr(ms, mask_dyn)
+            return dense.write_back(c_store[0], c_store[1], c_dt, z_vals,
+                                    z_valid, z_dtype, mask_arr, typed_accum,
+                                    replace)
+
+        vals, valid = _run(key, fn, (target._vals, target._valid),
+                           _mask_dyn(mask), z_sp._dyn())
+        target._set_store(vals, valid)
+        return
+    if plan == "densify":
         _densify_args(expr)
         plan = None
     typed_accum = None
@@ -363,7 +600,11 @@ def _record_line(target, expr, mask, accum, replace):
     opname = getattr(expr.op, "name", expr.op) if expr.op is not None else None
     parts = [f"{expr.method_name}({tname}"]
     if mask is not None:
-        parts.append(f"mask={mask!r}")
+        # cheap textual form — repr would densify a sparse-backed parent
+        pname = getattr(mask.parent, "name", None) or "M"
+        kind = "S" if mask.structure else "V"
+        neg = "~" if mask.complement else ""
+        parts.append(f"mask={neg}{pname}.{kind}")
     if accum is not None:
         parts.append(f"accum={getattr(accum, 'name', accum)}")
     if replace:
@@ -603,9 +844,9 @@ def T_reduce_agg(expr, dyn):
 
 
 def T_extract(expr, dyn):
-    # statics: (a_dt, pattern, tflag)
+    # statics: (a_dt, pattern, tflag[, unique])
     # pattern: "mat" (rows+cols), "row" (i, cols), "col" (rows, j), "vec" (idx)
-    a_dt, pattern, tflag = expr._statics
+    a_dt, pattern, tflag = expr._statics[:3]
     a_vals, a_valid = _maybe_T(dyn[0], tflag)
     if pattern == "vec":
         idx = dyn[1]
@@ -709,6 +950,130 @@ def make_identity_expr(a, out_dtype):
     return expr
 
 
+def _assign_sparse_target(target, axis_arrays, value, *, mask, accum,
+                          replace, is_submask, value_is_scalar, scalar_dt):
+    """GrB_assign / GxB_subassign onto a sparse-backed Matrix without
+    densifying it (VERDICT missing #2; reference matrix.py:2905+).
+
+    Returns False to fall back to the dense path (duplicate indices, or a
+    structurally-full region too large to expand)."""
+    from .config import config
+
+    rows_h = np.asarray(axis_arrays[0])
+    cols_h = np.asarray(axis_arrays[1])
+    if (len(np.unique(rows_h)) != len(rows_h)
+            or len(np.unique(cols_h)) != len(cols_h)):
+        return False  # duplicate indices: rare; dense path handles ordering
+    R, C = len(rows_h), len(cols_h)
+    region_cap = R * C
+    limit = int(config.get("dense_limit", 1 << 26))
+    value_sparse = (not value_is_scalar
+                    and getattr(value, "_sparse", None) is not None)
+    if not value_sparse and region_cap > limit:
+        return False  # a dense region this large cannot exist anyway
+    c_dt = target.dtype
+    c_sp = target._sparse
+    nrows, ncols = c_sp.nrows, c_sp.ncols
+    v_dt = scalar_dt if value_is_scalar else value.dtype
+    typed_accum = None
+    if accum is not None:
+        typed_accum = get_typed_op(accum, c_dt, v_dt, kind="binary")
+
+    # --- build the region content as a sorted COO dyn in C-space
+    if value_sparse:
+        v_sp = value._sparse
+
+        def z_of(axes, vdyn):
+            vr, vc, vv, vok, _ = vdyn
+            rr = jnp.take(axes[0], jnp.minimum(vr, R - 1), mode="clip")
+            cc = jnp.take(axes[1], jnp.minimum(vc, C - 1), mode="clip")
+            ok = vok & (vr < R) & (vc < C)
+            sent = spx._sent(nrows, ncols)
+            key = jnp.where(ok, spx._enc(rr.astype(jnp.int32),
+                                         cc.astype(jnp.int32), ncols), sent)
+            order = jnp.argsort(key)
+            ks = jnp.take(key, order)
+            valid = ks < sent
+            r = jnp.minimum(ks // (ncols + 1), nrows).astype(jnp.int32)
+            c = jnp.where(valid, ks % (ncols + 1), ncols).astype(jnp.int32)
+            v = st.tree_take(vv, order, 0)
+            return (r, c, v, valid, spx.csc_perm_of(r, c, nrows, ncols))
+
+        z_statics = ("zsp", v_sp._statics())
+        z_dynarg = v_sp._dyn()
+    elif value_is_scalar:
+        def z_of(axes, vdyn):
+            sval, spresent = vdyn
+            v_vals = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (R, C) + a.shape), sval)
+            v_ok = jnp.broadcast_to(spresent, (R, C))
+            return spx.region_store(axes[0], axes[1], v_vals, v_ok,
+                                    nrows, ncols)
+
+        z_statics = ("zscalar", v_dt, R, C)
+        z_dynarg = value  # (val, present) () arrays
+    else:
+        def z_of(axes, vdyn):
+            return spx.region_store(axes[0], axes[1], vdyn[0], vdyn[1],
+                                    nrows, ncols)
+
+        z_statics = ("zdense", v_dt, R, C)
+        z_dynarg = (value._vals, value._valid)
+
+    # --- mask evaluation at merged coordinates
+    if mask is None:
+        ms, m_dyn, m_builder = None, None, None
+    elif is_submask:
+        # region-shaped mask: translate C coords to region positions
+        parent = mask.parent
+        structure, complement = mask.structure, mask.complement
+        m_dt = parent.dtype
+        ms = ("submask", parent.shape, structure, complement, m_dt)
+        m_dyn = (parent._vals, parent._valid)
+
+        def m_builder(mask_dyn, axes, r, c):
+            arr = dense.mask_array(mask_dyn[0], mask_dyn[1], m_dt,
+                                   structure, complement)
+            inv_r = jnp.full(nrows + 1, R, jnp.int32).at[axes[0]].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop")
+            inv_c = jnp.full(ncols + 1, C, jnp.int32).at[axes[1]].set(
+                jnp.arange(C, dtype=jnp.int32), mode="drop")
+            rr = jnp.take(inv_r, jnp.minimum(r, nrows))
+            cc = jnp.take(inv_c, jnp.minimum(c, ncols))
+            if arr.ndim == 1:
+                got = jnp.take(arr, jnp.minimum(rr, R - 1), mode="clip")
+            else:
+                flat = arr.ravel()
+                got = jnp.take(flat, jnp.minimum(rr.astype(jnp.int64), R - 1)
+                               * C + jnp.minimum(cc.astype(jnp.int64), C - 1))
+            return got & (rr < R) & (cc < C)
+    else:
+        ms, m_dyn, cm_builder = _coord_mask_parts(mask)
+
+        def m_builder(mask_dyn, axes, r, c):
+            return cm_builder(mask_dyn, r, c)
+
+    key = ("assign_sparse", c_sp._statics(), z_statics, c_dt, v_dt, ms,
+           typed_accum, bool(replace), bool(is_submask), R, C)
+
+    def fn(c_dyn, mask_dyn, axes, vdyn):
+        z_dyn = z_of(axes, vdyn)
+        in_region = spx.membership_fn(axes, nrows, ncols)
+        mask_fn = None
+        if m_builder is not None:
+            def mask_fn(r, c):  # noqa: E306
+                return m_builder(mask_dyn, axes, r, c)
+        return spx.assign_sparse(c_dyn, z_dyn, nrows, max(ncols, 1), c_dt,
+                                 v_dt, typed_accum, bool(replace), mask_fn,
+                                 in_region, bool(is_submask))
+
+    record(f"assign({target.name or 'M'}, sparse, submask={is_submask})")
+    out_dyn = _run(key, fn, c_sp._dyn(), m_dyn, tuple(axis_arrays), z_dynarg)
+    target._set_sparse_store(
+        _maybe_compact(spx.SparseStore(*out_dyn, nrows, ncols)))
+    return True
+
+
 # --------------------------------------------------------------------- #
 # assign funnel (GrB_assign / GxB_subassign semantics)
 def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
@@ -717,6 +1082,14 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
     """axis_arrays: tuple of device int arrays (rows, cols) for Matrix,
     (idx,) for Vector.  `value` is a collection of the region shape, or a
     scalar () array when value_is_scalar."""
+    if getattr(target, "_sparse", None) is not None and target.ndim == 2:
+        done = _assign_sparse_target(target, axis_arrays, value, mask=mask,
+                                     accum=accum, replace=replace,
+                                     is_submask=is_submask,
+                                     value_is_scalar=value_is_scalar,
+                                     scalar_dt=scalar_dt)
+        if done:
+            return
     c_dt = target.dtype
     typed_accum = None
     v_dt = scalar_dt if value_is_scalar else value.dtype
@@ -783,6 +1156,23 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
 
 def delete_region(target, axis_arrays, *, mask=None):
     """del C[i, j] and masked deletes (reference core/expr.py:449-463)."""
+    if getattr(target, "_sparse", None) is not None and target.ndim == 2:
+        c_sp = target._sparse
+        nrows, ncols = c_sp.nrows, c_sp.ncols
+        ms, m_dyn, m_builder = _coord_mask_parts(mask)
+        key = ("delete_sparse", c_sp._statics(), ms,
+               tuple(int(a.shape[0]) for a in axis_arrays))
+
+        def fn(c_dyn, mask_dyn, axes):
+            rowids, cols, vals, ok, csc = c_dyn
+            region = spx.membership_fn(axes, nrows, max(ncols, 1))(rowids, cols)
+            if m_builder is not None:
+                region = region & m_builder(mask_dyn, rowids, cols)
+            return (rowids, cols, vals, ok & ~region, csc)
+
+        out_dyn = _run(key, fn, c_sp._dyn(), m_dyn, tuple(axis_arrays))
+        target._set_sparse_store(c_sp.with_store(out_dyn))
+        return
     ms = _mask_statics(mask)
     ndim = target.ndim
     key = ("delete", ndim, target.dtype, ms, target.shape,

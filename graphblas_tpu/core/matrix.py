@@ -699,9 +699,14 @@ class Matrix(Collection):
                                   execute.T_extract, self.dtype, (rix.size,),
                                   Vector)
         else:
+            rows_np = np.asarray(rix.index)
+            cols_np = np.asarray(cix.index)
+            # duplicate-free index lists unlock the O(nnz) sparse extract
+            unique = (len(np.unique(rows_np)) == len(rows_np)
+                      and len(np.unique(cols_np)) == len(cols_np))
             rows = jnp.asarray(rix.index)
             cols = jnp.asarray(cix.index)
-            statics = (self.dtype, "mat", False)
+            statics = (self.dtype, "mat", False, unique)
             expr = BaseExpression("extract", None, [self, rows, cols], statics,
                                   execute.T_extract, self.dtype,
                                   (rix.size, cix.size), Matrix)

@@ -50,12 +50,26 @@ class MatrixSS:
     @property
     def nbytes(self):
         p = self._parent
+        if p._sparse is not None:
+            sp = p._sparse
+            return sp.cap * (p.dtype.np_type.itemsize + 2 * 4 + 1)
         return p.nrows * p.ncols * (p.dtype.np_type.itemsize + 1)
+
+    def _present_values(self):
+        """Host array of stored values — O(nnz) when sparse-backed, never
+        densifying a graph-scale matrix (Appendix C interchange contract)."""
+        p = self._parent
+        if p._sparse is not None:
+            _, _, v = p._sparse.host_coo()
+            return v
+        vals, ok = p._host_arrays()
+        return vals[ok]
 
     @property
     def is_iso(self):
-        vals, ok = self._parent._host_arrays()
-        pres = vals[ok]
+        pres = self._present_values()
+        if isinstance(pres, dict):
+            return False
         if len(pres) == 0:
             return False
         return bool((pres == pres.flat[0]).all())
@@ -64,8 +78,7 @@ class MatrixSS:
     def iso_value(self):
         from ..scalar import Scalar
 
-        vals, ok = self._parent._host_arrays()
-        pres = vals[ok]
+        pres = self._present_values()
         if len(pres) == 0 or not (pres == pres.flat[0]).all():
             raise ValueError("Matrix is not iso-valued")
         return Scalar.from_value(pres.flat[0], self._parent.dtype)
@@ -84,7 +97,10 @@ class MatrixSS:
         elif format == "columnwise":
             format = "csc"
         format = format.lower()
-        vals, ok = p._host_arrays()
+        if format in ("bitmapr", "bitmapc", "fullr", "fullc"):
+            # only the dense formats need O(nrows*ncols) host arrays;
+            # csr/csc/hyper/coo stay O(nnz) for sparse-backed matrices
+            vals, ok = p._host_arrays()
         iso = self.is_iso
         if format == "csr":
             indptr, cols, v = p.to_csr()

@@ -196,12 +196,19 @@ def test_densify_fallback_small(graph):
     assert_same(out_d, out_s)
 
 
-def test_densify_guard_raises():
+def test_mxm_no_longer_densifies():
+    # Round 1 raised OutOfMemory here; general sparse SpGEMM now runs the
+    # whole thing O(nnz) even with a tiny dense_limit.
     with gb.config.set(auto_sparse_limit=0, dense_limit=16):
         A = Matrix.from_coo([0, 100], [1, 200], [1.0, 2.0], dtypes.FP64,
                             nrows=300, ncols=300)
-        with pytest.raises(gb.exceptions.OutOfMemory):
-            A.mxm(A.dup(), semiring.plus_times).new()
+        B = Matrix.from_coo([1, 200], [7, 8], [3.0, 5.0], dtypes.FP64,
+                            nrows=300, ncols=300)
+        C = A.mxm(B, semiring.plus_times).new()
+        assert C._sparse is not None
+        r, c, v = C.to_coo()
+        assert r.tolist() == [0, 100] and c.tolist() == [7, 8]
+        assert v.tolist() == [3.0, 10.0]
 
 
 def test_aggregator_recipes_on_sparse(graph):
