@@ -55,7 +55,7 @@ class SparseStore:
     """Host-side handle for a padded-CSR device store."""
 
     __slots__ = ("rowids", "cols", "vals", "ok", "csc_perm", "nrows", "ncols",
-                 "cap", "is_diag", "token")
+                 "cap", "is_diag", "token", "_sortpipe_plans", "_nvals_cache")
 
     def __init__(self, rowids, cols, vals, ok, csc_perm, nrows, ncols, *,
                  is_diag=False, token=None):
@@ -69,6 +69,8 @@ class SparseStore:
         self.cap = int(rowids.shape[0])
         self.is_diag = bool(is_diag)
         self.token = next(_structure_counter) if token is None else token
+        self._sortpipe_plans = None
+        self._nvals_cache = None
 
     # dyn tuple crossing into jit: arrays only, fixed arity 5
     def _dyn(self):
@@ -88,7 +90,9 @@ class SparseStore:
         )
 
     def nvals(self):
-        return int(np.asarray(jnp.sum(self.ok)))
+        if self._nvals_cache is None:
+            self._nvals_cache = int(np.asarray(jnp.sum(self.ok)))
+        return self._nvals_cache
 
     def host_coo(self):
         """(rows, cols, values) int64/np arrays of the stored entries."""

@@ -138,7 +138,15 @@ def _sparsify(mat):
 
 
 def _inline_sparse_impl(expr):
-    """Trace impl for 'inline' plans: sparse operands, dense result store."""
+    """Trace impl for 'inline' plans: sparse operands, dense result store.
+
+    Returns (impl, extra_dyn, extra_key): impl(e, dyn, extra) is traced
+    inside the dispatch jit; extra_dyn carries sort-pipeline plan arrays
+    (engine/sortpipe.py) as additional jit inputs when the operation rides
+    the TPU sort-pipeline hot path.
+    """
+    from .engine import sortpipe
+
     m = expr.method_name
     if m in ("mxv", "vxm"):
         kind, a_dt, b_dt, at, bt = expr._statics
@@ -149,26 +157,53 @@ def _inline_sparse_impl(expr):
         u_dt = b_dt if m == "mxv" else a_dt
         sp = expr.args[mat_i]._sparse
         nrows, ncols = sp.nrows, sp.ncols
+        if (sp.nrows > 0 and sp.ncols > 0
+                and sortpipe.eligible_spmv(expr.op, mat_dt, u_dt)):
+            entry = sortpipe.get_plan(sp, m == "mxv", at=bool(tflag))
+            if entry["vals_m"] is not None:
+                n_in, n_out, L = entry["n_in"], entry["n_out"], entry["L"]
 
-        def impl(e, dyn):
+                def impl(e, dyn, extra):
+                    u_vals, u_valid = dyn[vec_i]
+                    return sortpipe.spmv_pipeline(
+                        extra, u_vals, u_valid, e.op, mat_dt, u_dt, kind=m,
+                        n_in=n_in, n_out=n_out, L=L, a_np=None, out_np=None)
+
+                return (impl, sortpipe.plan_dyn_tuple(entry),
+                        ("pipe", L, n_in, n_out))
+
+        def impl(e, dyn, extra):
             u_vals, u_valid = dyn[vec_i]
             return spx.spmv(dyn[mat_i], nrows, ncols, tflag, m, u_vals,
                             u_valid, e.op, mat_dt, u_dt)
 
-        return impl
+        return impl, None, None
     if m in ("reduce_rowwise", "reduce_columnwise"):
         a_dt, axis, tflag = expr._statics
         sp = expr.args[0]._sparse
         nrows, ncols = sp.nrows, sp.ncols
+        if (sp.nrows > 0 and sp.ncols > 0
+                and sortpipe.eligible_reduce(expr.op, a_dt)):
+            # axis=1 reduces rows (dest=row); axis=0 reduces columns
+            entry = sortpipe.get_plan(sp, axis == 1, at=bool(tflag))
+            if entry["vals_m"] is not None:
+                n_out, L = entry["n_out"], entry["L"]
 
-        def impl(e, dyn):
+                def impl(e, dyn, extra):
+                    return sortpipe.reduce_pipeline(extra, e.op, a_dt,
+                                                    n_out=n_out, L=L)
+
+                return (impl, sortpipe.plan_dyn_tuple(entry),
+                        ("pipe", L, n_out))
+
+        def impl(e, dyn, extra):
             return spx.reduce_axis(dyn[0], nrows, ncols, tflag, axis, e.op, a_dt)
 
-        return impl
+        return impl, None, None
     if m == "reduce_scalar":
         a_dt, allow_empty = expr._statics
 
-        def impl(e, dyn):
+        def impl(e, dyn, extra):
             _, _, vals, ok, _ = dyn[0]
             v, valid = dense.reduce_monoid(vals, ok, e.op, a_dt, 0)
             if not allow_empty:
@@ -179,32 +214,32 @@ def _inline_sparse_impl(expr):
                 valid = jnp.ones((), bool)
             return v, valid
 
-        return impl
+        return impl, None, None
     if m == "extract_element":
         a_dt, ndim, tflag = expr._statics
         sp = expr.args[0]._sparse
         nrows, ncols = sp.nrows, sp.ncols
 
-        def impl(e, dyn):
+        def impl(e, dyn, extra):
             return spx.extract_element(dyn[0], nrows, ncols, tflag,
                                        dyn[1], dyn[2])
 
-        return impl
+        return impl, None, None
     if m == "extract":
         # A[i, cols] / A[rows, j] on a sparse store -> dense vector
         a_dt, pattern, tflag = expr._statics[:3]
         sp = expr.args[0]._sparse
         nrows, ncols = sp.nrows, sp.ncols
         if pattern == "row":
-            def impl(e, dyn):
+            def impl(e, dyn, extra):
                 return spx.extract_rowcol_dense(dyn[0], nrows, ncols, tflag,
                                                 dyn[1][0], dyn[2], True)
         else:
-            def impl(e, dyn):
+            def impl(e, dyn, extra):
                 return spx.extract_rowcol_dense(dyn[0], nrows, ncols, tflag,
                                                 dyn[2][0], dyn[1], False)
 
-        return impl
+        return impl, None, None
     raise AssertionError(f"no inline sparse impl for {m}")
 
 
@@ -563,21 +598,29 @@ def update_into(target, expr, *, mask=None, accum=None, replace=False):
     if accum is not None:
         typed_accum = get_typed_op(accum, target.dtype, expr.dtype, kind="binary")
     ms = _mask_statics(mask)
+    extra_dyn = extra_key = None
+    if plan == "inline":
+        impl, extra_dyn, extra_key = _inline_sparse_impl(expr)
+    else:
+        base_impl = expr._trace_impl
+
+        def impl(e, dyn, extra):
+            return base_impl(e, dyn)
+
     key = ("update", expr._key(), target.dtype, ms, typed_accum, bool(replace),
-           expr._shape, target.shape)
-    impl = _inline_sparse_impl(expr) if plan == "inline" else expr._trace_impl
+           expr._shape, target.shape, extra_key)
     c_dt = target.dtype
     z_dt = expr.dtype
 
-    def fn(c_store, mask_dyn, dyn):
-        z_vals, z_valid = impl(expr, dyn)
+    def fn(c_store, mask_dyn, dyn, extra):
+        z_vals, z_valid = impl(expr, dyn, extra)
         mask_arr = _mask_arr(ms, mask_dyn)
         return dense.write_back(c_store[0], c_store[1], c_dt, z_vals, z_valid,
                                 z_dt, mask_arr, typed_accum, replace)
 
     record(_record_line(target, expr, mask, accum, replace))
     vals, valid = _run(key, fn, (target._vals, target._valid), _mask_dyn(mask),
-                       expr._dyn())
+                       expr._dyn(), extra_dyn)
     target._set_store(vals, valid)
 
 
