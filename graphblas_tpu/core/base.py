@@ -284,6 +284,12 @@ class BaseType:
         import jax
 
         if self._sparse is not None:
+            if how == "materialize":
+                # the one place capacity compaction may block on a host read
+                # (reference materialize semantics, matrix.py:778)
+                from .execute import _maybe_compact
+
+                self._set_sparse_store(_maybe_compact(self._sparse, force=True))
             jax.block_until_ready(self._sparse.vals)
             jax.block_until_ready(self._sparse.ok)
         else:

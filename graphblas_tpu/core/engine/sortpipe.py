@@ -121,7 +121,10 @@ def segscan(barrier, vals, combines):
     semantics (deterministic order).
     """
     if _use_pallas():
-        return _segscan_pallas(barrier, vals, tuple(combines))
+        # trace the kernel with x64 off: all operands are already 32-bit,
+        # and stray 64-bit literals fail Mosaic legalization
+        with jax.enable_x64(False):
+            return _segscan_pallas(barrier, vals, tuple(combines))
     return _segscan_xla(barrier, vals, combines)
 
 
@@ -148,6 +151,11 @@ def _segscan_pallas(barrier, vals, combines):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    def _s32(s):
+        # keep roll shifts 32-bit: x64 mode would promote python ints to
+        # i64, which Mosaic's dynamic_rotate rejects
+        return jnp.int32(s)
+
     L = barrier.shape[0]
     BC = 128
     R = L // BC
@@ -171,18 +179,18 @@ def _segscan_pallas(barrier, vals, combines):
         lane = jax.lax.broadcasted_iota(jnp.int32, (BR, BC), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (BR, BC), 0)
         for s in [1 << k for k in range(7)]:
-            bsh = pltpu.roll(b.astype(jnp.int32), s, 1) != 0
+            bsh = pltpu.roll(b.astype(jnp.int32), _s32(s), 1) != 0
             okm = lane >= s
-            vs = [jnp.where(b | ~okm, v, c(pltpu.roll(v, s, 1), v))
+            vs = [jnp.where(b | ~okm, v, c(pltpu.roll(v, _s32(s), 1), v))
                   for v, c in zip(vs, combines)]
             b = b | (okm & bsh)
         for s in [1 << k for k in range(BR.bit_length() - 1)]:
-            bsh = pltpu.roll(b.astype(jnp.int32), s, 0) != 0
+            bsh = pltpu.roll(b.astype(jnp.int32), _s32(s), 0) != 0
             okm = row >= s
             last_b = jnp.broadcast_to(bsh[:, BC - 1:BC], (BR, BC))
             vs = [jnp.where(b | ~okm, v,
                             c(jnp.broadcast_to(
-                                pltpu.roll(v, s, 0)[:, BC - 1:BC], (BR, BC)),
+                                pltpu.roll(v, _s32(s), 0)[:, BC - 1:BC], (BR, BC)),
                               v))
                   for v, c in zip(vs, combines)]
             b = b | (okm & last_b)
@@ -204,6 +212,10 @@ def _segscan_pallas(barrier, vals, combines):
         out_shape=tuple(jax.ShapeDtypeStruct((R, BC), v.dtype) for v in vals),
         scratch_shapes=[pltpu.SMEM((1, 1), v.dtype) for v in vals]
         + [pltpu.SMEM((1, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            # the scan carry in SMEM makes grid steps order-dependent
+            dimension_semantics=("arbitrary",),
+        ),
     )(barrier.reshape(R, BC), *[v.reshape(R, BC) for v in vals])
     return [o.reshape(L) for o in outs]
 

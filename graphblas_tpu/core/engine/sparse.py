@@ -149,8 +149,10 @@ def build_sparse_store(rows, cols, values, nrows, ncols, dtype, *, cap=None,
         if n:
             buf[:n] = values
         vals = jnp.asarray(buf)
-    return SparseStore(jnp.asarray(r), jnp.asarray(c), vals, jnp.asarray(ok),
-                       jnp.asarray(csc_perm), nrows, ncols, is_diag=is_diag)
+    out = SparseStore(jnp.asarray(r), jnp.asarray(c), vals, jnp.asarray(ok),
+                      jnp.asarray(csc_perm), nrows, ncols, is_diag=is_diag)
+    out._nvals_cache = int(n)  # known at build: no later device sync needed
+    return out
 
 
 def diag_sparse_store(v_vals, v_valid, n):

@@ -243,10 +243,15 @@ def _inline_sparse_impl(expr):
     raise AssertionError(f"no inline sparse impl for {m}")
 
 
-def _maybe_compact(sp):
-    """Shrink an oversized store to its nvals capacity bucket.  Costs one
-    scalar host read per public dispatch (the symbolic/numeric sync the
-    reference pays inside SuiteSparse's two-phase kernels)."""
+def _maybe_compact(sp, *, force=False):
+    """Shrink an oversized store to its nvals capacity bucket.
+
+    Policy (VERDICT r2 #3): never block the dispatch hot path on a host
+    read.  Compaction happens only when the entry count is already known
+    host-side (free), or when forced by wait(how="materialize") / export /
+    resize — the reference's materialize semantics (matrix.py:778)."""
+    if sp._nvals_cache is None and not force:
+        return sp
     n = sp.nvals()
     new_cap = spx._round_capacity(max(n, 1))
     if new_cap >= sp.cap:
@@ -258,7 +263,9 @@ def _maybe_compact(sp):
         return spx.compact(dyn, sp.nrows, sp.ncols, new_cap)
 
     out_dyn = _run(key, fn, sp._dyn())
-    return spx.SparseStore(*out_dyn, sp.nrows, sp.ncols)
+    out = spx.SparseStore(*out_dyn, sp.nrows, sp.ncols)
+    out._nvals_cache = n
+    return out
 
 
 def _coord_mask_parts(mask):
