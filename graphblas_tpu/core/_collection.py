@@ -320,6 +320,9 @@ class Collection(BaseType):
     def dup(self, dtype=None, *, clear=False, mask=None, name=None, **opts):
         """Duplicate (optionally cast / masked / cleared).
         Reference matrix.py:699 / vector.py."""
+        from .opts import validate_opts
+
+        validate_opts(opts)
         dt = self.dtype if dtype is None else lookup_dtype(dtype)
         out = self._empty(dt, self.shape, name=name)
         if clear:

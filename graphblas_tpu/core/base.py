@@ -195,7 +195,7 @@ class BaseType:
 
     def __lshift__(self, expr):
         self.update(expr)
-        return self  # allow C << a << b? reference returns None; harmless
+        # reference semantics: `C << expr` is a statement, not an expression
 
     def update(self, expr, **opts):
         self._update(expr, **opts)
@@ -410,7 +410,9 @@ class BaseExpression:
     # ------------------------------------------------------------------ #
     def new(self, dtype=None, *, mask=None, name=None, is_cscalar=None, **opts):
         from . import execute
+        from .opts import validate_opts
 
+        validate_opts(opts)
         if dtype is None:
             out_dtype = self.dtype
         else:

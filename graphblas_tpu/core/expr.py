@@ -116,6 +116,8 @@ class Updater:
 
     def __init__(self, parent, *, mask=None, accum=None, replace=False,
                  input_mask=None, opts=None):
+        from .opts import validate_opts
+
         self.parent = parent
         self.kwargs = {
             "mask": mask,
@@ -123,7 +125,7 @@ class Updater:
             "replace": replace,
             "input_mask": input_mask,
         }
-        self.opts = opts or {}
+        self.opts = validate_opts(opts or {})
 
     def __repr__(self):
         return f"Updater({self.parent!r}, {self.kwargs})"
