@@ -109,8 +109,13 @@ def sort_apply(ranks, vals):
     return jax.lax.sort((ranks, vals), num_keys=1)[1]
 
 
+# test hook: force the Pallas kernel in interpret mode on CPU so its logic
+# (esp. the inter-block carry) is exercised without TPU hardware
+_INTERPRET = False
+
+
 def _use_pallas():
-    return jax.default_backend() == "tpu"
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 def segscan(barrier, vals, combines):
@@ -167,12 +172,7 @@ def _segscan_pallas(barrier, vals, combines):
         v_refs = refs[1:1 + nv]
         o_refs = refs[1 + nv:1 + 2 * nv]
         vcars = refs[1 + 2 * nv:1 + 3 * nv]
-        bcar = refs[1 + 3 * nv]
         i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            bcar[0, 0] = 1  # barrier[0] == 1: nothing carried in
 
         b = b_ref[:] != 0
         vs = [r[:] for r in v_refs]
@@ -194,14 +194,16 @@ def _segscan_pallas(barrier, vals, combines):
                               v))
                   for v, c in zip(vs, combines)]
             b = b | (okm & last_b)
-        merged = [jnp.where(b | (bcar[0, 0] != 0), v, c(vcar[0, 0], v))
+        # inter-block carry: positions with no in-block barrier continue the
+        # running segment from the previous block's last element.  Block 0
+        # never combines (barrier[0] == 1 makes b all-True there, and its
+        # vcar SMEM is uninitialized -- the `i == 0` guard keeps it unread).
+        merged = [jnp.where(b | (i == 0), v, c(vcar[0, 0], v))
                   for v, c, vcar in zip(vs, combines, vcars)]
-        bseen = b | (bcar[0, 0] != 0)
         for o, v in zip(o_refs, merged):
             o[:] = v
         for vcar, v in zip(vcars, merged):
             vcar[0, 0] = v[BR - 1, BC - 1]
-        bcar[0, 0] = bseen.astype(jnp.int32)[BR - 1, BC - 1]
 
     spec = pl.BlockSpec((BR, BC), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -210,12 +212,12 @@ def _segscan_pallas(barrier, vals, combines):
         in_specs=[spec] * (1 + nv),
         out_specs=tuple([spec] * nv),
         out_shape=tuple(jax.ShapeDtypeStruct((R, BC), v.dtype) for v in vals),
-        scratch_shapes=[pltpu.SMEM((1, 1), v.dtype) for v in vals]
-        + [pltpu.SMEM((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1, 1), v.dtype) for v in vals],
         compiler_params=pltpu.CompilerParams(
             # the scan carry in SMEM makes grid steps order-dependent
             dimension_semantics=("arbitrary",),
         ),
+        interpret=_INTERPRET,
     )(barrier.reshape(R, BC), *[v.reshape(R, BC) for v in vals])
     return [o.reshape(L) for o in outs]
 

@@ -136,5 +136,5 @@ def test_entry_compiles():
     fn, args = entrymod.entry()
     out = jax.jit(fn)(*args)
     out.block_until_ready()
-    assert out.shape == args[4].shape
+    assert out.shape == args[1].shape  # args[1] is the rank vector
     assert abs(float(out.sum()) - 1.0) < 1e-3

@@ -189,3 +189,38 @@ def test_large_random_sweep(rng):
         np.add.at(oracle, r, v.astype(np.float64) * x[c])
         dense_out = np.asarray(got.to_dense(fill_value=0), np.float64)
         assert np.allclose(dense_out, oracle, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_segscan_interpret_block_carry():
+    """Pallas segscan on CPU (interpret mode): segments crossing the 32768-
+    element grid-block boundary must carry values across blocks.  Regression
+    for the round-3 bug where every grid block scanned independently."""
+    import jax
+    import jax.numpy as jnp
+
+    L = 1 << 16  # 2 grid blocks of BR*BC = 256*128
+    rng = np.random.default_rng(7)
+    barrier = (rng.random(L) < 0.001).astype(np.int32)
+    barrier[0] = 1
+    # force a long segment across the block boundary
+    barrier[20000:40000] = 0
+    vals = rng.integers(0, 100, L).astype(np.int32)
+
+    def ref(barrier, vals):
+        out = np.empty_like(vals)
+        acc = 0
+        for i in range(len(vals)):
+            acc = vals[i] if barrier[i] else acc + vals[i]
+            out[i] = acc
+        return out
+
+    comb = (lambda a, b: a + b,)
+    old = sortpipe._INTERPRET
+    sortpipe._INTERPRET = True
+    try:
+        with jax.enable_x64(False):
+            got = jax.jit(lambda b, v: sortpipe._segscan_pallas(b, [v], comb)[0])(
+                jnp.asarray(barrier), jnp.asarray(vals))
+    finally:
+        sortpipe._INTERPRET = old
+    assert np.array_equal(np.asarray(got), ref(barrier, vals))
