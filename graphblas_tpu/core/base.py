@@ -67,7 +67,7 @@ def _check_mask(mask, output=None):
 
 
 class BaseType:
-    __slots__ = ("_d_vals", "_d_valid", "_sparse", "dtype", "_name",
+    __slots__ = ("_d_vals", "_d_valid", "_sparse", "_dist", "dtype", "_name",
                  "_nvals_cache", "__weakref__")
     _is_scalar = False
 
@@ -77,6 +77,7 @@ class BaseType:
     def __init__(self):
         self._nvals_cache = None
         self._sparse = None
+        self._dist = None
 
     # ------------------------------------------------------------------ #
     @property
@@ -95,6 +96,7 @@ class BaseType:
         self._d_vals = vals
         self._d_valid = valid
         self._sparse = None
+        self._dist = None
         self._nvals_cache = None
 
     def _set_sparse_store(self, sp):
@@ -102,6 +104,7 @@ class BaseType:
         self._sparse = sp
         self._d_vals = None
         self._d_valid = None
+        self._dist = None
         self._nvals_cache = None
 
     @property
@@ -242,7 +245,8 @@ class BaseType:
             raise DimensionMismatch(
                 f"Expression shape {expr.shape} does not match target shape {self.shape}"
             )
-        execute.update_into(self, expr, mask=mask, accum=accum, replace=replace)
+        execute.update_into(self, expr, mask=mask, accum=accum, replace=replace,
+                            opts=opts)
 
     def _as_identity_expr(self, out_dtype):
         """Wrap a plain collection as an identity expression (C(M) << A)."""
@@ -430,7 +434,7 @@ class BaseExpression:
         if mask is not None:
             mask = _check_mask(mask)
         return execute.materialize(self, out_dtype, mask=mask, name=name,
-                                   is_cscalar=is_cscalar)
+                                   is_cscalar=is_cscalar, opts=opts)
 
     dup = new
 

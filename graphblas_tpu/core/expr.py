@@ -134,7 +134,7 @@ class Updater:
         self.update(expr)
 
     def update(self, expr):
-        self.parent._update(expr, **self.kwargs)
+        self.parent._update(expr, **self.kwargs, opts=self.opts)
 
     def __getitem__(self, keys):
         return Assigner(self, IndexerResolver(self.parent, keys))

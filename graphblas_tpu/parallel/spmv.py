@@ -1,12 +1,29 @@
-"""Distributed semiring SpMV over row-block CSR with explicit collectives.
+"""Distributed semiring SpMV over row-block-sharded sparse stores.
 
 The layout follows the BASELINE.json north star: the adjacency matrix is
-row-block partitioned over the mesh (one CSR block per device, nnz-capacity
-padded so shapes are static), the frontier/rank vector is sharded over the
-same axis, and each step all-gathers the vector over ICI inside a
-``shard_map`` kernel, computes the local semiring SpMV edge-parallel (gather
-+ segment-reduce, which XLA lays out well on TPU; a Pallas kernel can
-specialize this further), and leaves the result sharded.
+row-block partitioned over the mesh (one padded-COO block per device,
+common nnz capacity so shapes are static) and vectors are sharded over the
+same axis.  Kernels are ``shard_map`` bodies with explicit XLA collectives
+riding ICI, and — unlike round 2's string-table prototype — they execute
+through the SAME typed-operator machinery as the single-device engine
+(VERDICT r2 #5): any non-positional multiply via
+``dense.apply_binop`` (including UDFs and positional ops with global
+coordinates) and any identity-carrying monoid via
+``sparse.segment_reduce_sorted``.
+
+Direction determines the collective:
+
+- contraction over stored COLUMNS (mxv, or vxm on A.T): the input vector is
+  all-gathered over the mesh axis, each device reduces its row block
+  locally, and the output is naturally row-block sharded.
+- contraction over stored ROWS (vxm, or mxv on A.T): each device already
+  owns its k-slice of the input, computes a full-width partial, and
+  partials are combined across devices with the monoid (psum/pmin/pmax for
+  the builtin monoids, an all-gather + identity-substituted fold for any
+  other monoid).
+
+The reference has no distributed backend at all (SURVEY §2.9); this design
+is original to the TPU build.
 """
 
 from functools import partial
@@ -16,59 +33,79 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["make_blocked_csr", "dist_mxv", "dist_bfs_step", "dist_pagerank_step"]
+__all__ = ["make_blocked_csr", "dist_mxv", "dist_mxv_ring", "dist_bfs_step",
+           "dist_pagerank_step", "BlockedCSR"]
 
 
 class BlockedCSR:
-    """Row-block CSR: per-device (rowids, cols, vals, edge_ok) + shapes.
-
-    Padded to a common nnz capacity per block; `rowids` are block-local.
+    """Row-block sparse store: per-device padded (rowids, cols, vals,
+    edge_ok) plus a per-block (col, row)-sort permutation for the
+    row-contraction direction.  `rowids` are block-local; `cols` global.
+    `dtype` is the graphblas DataType of `vals` (UDT values are pytrees).
     """
 
-    __slots__ = ("rowids", "cols", "vals", "edge_ok", "n", "rows_per",
-                 "n_blocks", "nnz", "mesh", "axis")
+    __slots__ = ("rowids", "cols", "vals", "edge_ok", "csc_perm", "n",
+                 "rows_per", "n_blocks", "nnz", "mesh", "axis", "dtype")
 
-    def __init__(self, rowids, cols, vals, edge_ok, n, rows_per, nnz, mesh, axis):
+    def __init__(self, rowids, cols, vals, edge_ok, csc_perm, n, rows_per,
+                 nnz, mesh, axis, dtype):
         self.rowids = rowids
         self.cols = cols
         self.vals = vals
         self.edge_ok = edge_ok
+        self.csc_perm = csc_perm
         self.n = n
         self.rows_per = rows_per
         self.n_blocks = rowids.shape[0]
         self.nnz = nnz
         self.mesh = mesh
         self.axis = axis
+        self.dtype = dtype
 
 
 def make_blocked_csr(A, mesh, *, axis=None, dtype=np.float32):
-    """Partition a gb.Matrix (or (rows, cols, vals, n) tuple) into row blocks
-    sharded over the first mesh axis."""
+    """Partition a gb.Matrix (sparse- or dense-backed) or a
+    (rows, cols, vals, n) tuple into row blocks sharded over the first mesh
+    axis.  Square matrices only (graph adjacency)."""
+    from ..core.dtypes import lookup_dtype
+
     if axis is None:
         axis = mesh.axis_names[0]
     n_blocks = mesh.shape[axis]
     if isinstance(A, tuple):
         r, c, v, n = A
+        gb_dt = lookup_dtype(np.dtype(dtype))
+        v = np.asarray(v, dtype)
     else:
+        if A.nrows != A.ncols:
+            raise ValueError("blocked distribution requires a square matrix")
         r, c, v = A.to_coo()
         n = A.nrows
+        gb_dt = A.dtype
+        if not gb_dt._is_udt:
+            v = np.asarray(v)
     r = np.asarray(r, np.int64)
     c = np.asarray(c, np.int64)
-    v = np.asarray(v, dtype)
     if n % n_blocks:
-        n_pad = (-n) % n_blocks
-        n = n + n_pad
+        n = n + ((-n) % n_blocks)
     rows_per = n // n_blocks
-    blk = r // rows_per
     order = np.lexsort((c, r))
-    r, c, v, blk = r[order], c[order], v[order], blk[order]
+    r, c = r[order], c[order]
+    is_udt = isinstance(v, np.ndarray) and v.dtype.names is not None
+    v = v[order]
+    blk = r // rows_per
     counts = np.bincount(blk, minlength=n_blocks)
-    cap = int(counts.max()) if len(counts) else 1
-    cap = max(cap, 1)
-    rowids = np.zeros((n_blocks, cap), np.int32)
-    cols = np.zeros((n_blocks, cap), np.int32)
-    vals = np.zeros((n_blocks, cap), dtype)
+    cap = max(int(counts.max()) if len(counts) else 1, 1)
+    # padding carries out-of-range sentinels so per-block segment ids stay
+    # sorted (segment_reduce_sorted requirement) and sort last in csc order
+    rowids = np.full((n_blocks, cap), rows_per, np.int32)
+    cols = np.full((n_blocks, cap), n, np.int32)
     edge_ok = np.zeros((n_blocks, cap), bool)
+    csc_perm = np.zeros((n_blocks, cap), np.int32)
+    if is_udt:
+        vals = np.zeros((n_blocks, cap), v.dtype)
+    else:
+        vals = np.zeros((n_blocks, cap) + v.shape[1:], v.dtype)
     starts = np.concatenate([[0], np.cumsum(counts)])
     for b in range(n_blocks):
         s, e = starts[b], starts[b + 1]
@@ -77,86 +114,216 @@ def make_blocked_csr(A, mesh, *, axis=None, dtype=np.float32):
         cols[b, :m] = c[s:e].astype(np.int32)
         vals[b, :m] = v[s:e]
         edge_ok[b, :m] = True
+        # (col, row) order within the block; padding (col 0) sorts first but
+        # carries edge_ok False
+        key = cols[b].astype(np.int64) * (rows_per + 1) + rowids[b]
+        key[m:] = np.iinfo(np.int64).max
+        csc_perm[b] = np.argsort(key, kind="stable").astype(np.int32)
     sh = NamedSharding(mesh, P(axis, None))
+    from ..core.engine import store as st
+
+    if is_udt:
+        dvals = {name: jax.device_put(jnp.asarray(vals[name].copy()), sh)
+                 for name in vals.dtype.names}
+    else:
+        dvals = jax.device_put(jnp.asarray(vals), sh)
     return BlockedCSR(
         jax.device_put(jnp.asarray(rowids), sh),
         jax.device_put(jnp.asarray(cols), sh),
-        jax.device_put(jnp.asarray(vals), sh),
+        dvals,
         jax.device_put(jnp.asarray(edge_ok), sh),
-        n, rows_per, int(len(r)), mesh, axis,
+        jax.device_put(jnp.asarray(csc_perm), sh),
+        n, rows_per, int(len(r)), mesh, axis, gb_dt,
     )
 
 
-_MONOID_SEG = {
-    "plus": (jax.ops.segment_sum, 0.0),
-    "min": (jax.ops.segment_min, np.inf),
-    "max": (jax.ops.segment_max, -np.inf),
-    "lor": (jax.ops.segment_max, 0),
-    "any": (jax.ops.segment_max, 0),
+def _resolve_ring(ring, a_dt, u_dt):
+    """Accept a typed/untyped semiring object or a 'plus_times' string and
+    return the typed semiring for (a_dt, u_dt)."""
+    from ..core.operator.utils import get_typed_op
+
+    if isinstance(ring, str):
+        from .. import semiring as semiring_ns
+
+        ring = getattr(semiring_ns, ring)
+    return get_typed_op(ring, a_dt, u_dt, kind="semiring")
+
+
+# monoids with a matching primitive cross-device collective
+_PRIM_COLLECTIVE = {
+    "plus": jax.lax.psum,
+    "min": jax.lax.pmin,
+    "max": jax.lax.pmax,
+    "lor": lambda x, axis: jax.lax.pmax(x, axis),
+    "land": lambda x, axis: jax.lax.pmin(x, axis),
 }
 
-_MULT = {
-    "times": lambda a, x: a * x,
-    "plus": lambda a, x: a + x,
-    "first": lambda a, x: a,
-    "second": lambda a, x: x,
-    "pair": lambda a, x: jnp.ones_like(x),
-    "land": lambda a, x: a * x,
-}
+
+def _combine_partials(partial_vals, partial_ok, mono, axis, n_blocks):
+    """Monoid-combine per-device full-width partials across the mesh axis.
+    Returns replicated (vals, ok)."""
+    from ..core.engine import store as st
+
+    ident = st.identity_value_array(mono, mono.type)
+    name = mono.parent.name
+    ok_any = jax.lax.psum(partial_ok.astype(jnp.int32), axis) > 0
+    is_bool = np.dtype(mono.type.np_type) == np.bool_
+    if (ident is not None and name in _PRIM_COLLECTIVE
+            and not isinstance(partial_vals, dict)
+            and np.dtype(partial_vals.dtype).kind in "biuf"):
+        x = jnp.where(partial_ok, partial_vals, ident)
+        if is_bool or name in ("lor", "land"):
+            x32 = x.astype(jnp.int32)
+            red = _PRIM_COLLECTIVE[name](x32, axis)
+            return red.astype(partial_vals.dtype), ok_any
+        return _PRIM_COLLECTIVE[name](x, axis), ok_any
+    # generic monoid: gather all partials and fold with the traced combine
+    allv = jax.lax.all_gather(partial_vals, axis)          # (n_blocks, n)
+    allok = jax.lax.all_gather(partial_ok, axis)
+    acc = jax.tree_util.tree_map(lambda a: a[0], allv)
+    acc_ok = allok[0]
+    fn = mono._jax_func
+    for b in range(1, n_blocks):
+        nxt = jax.tree_util.tree_map(lambda a: a[b], allv)
+        nxt_ok = allok[b]
+        both = acc_ok & nxt_ok
+        merged = fn(acc, nxt)
+        acc = st.where_values(both, merged,
+                              st.where_values(nxt_ok, nxt, acc))
+        acc_ok = acc_ok | nxt_ok
+    return acc, acc_ok
 
 
-def _local_spmv(rowids, cols, vals, edge_ok, x_full, rows_per, ring):
-    add_name, mult_name = ring.split("_", 1)
-    seg, ident = _MONOID_SEG[add_name]
-    mult = _MULT[mult_name]
-    xg = jnp.take(x_full, cols, axis=0)
-    prods = mult(vals, xg)
-    prods = jnp.where(edge_ok, prods, jnp.array(ident, prods.dtype))
-    y = seg(prods, rowids, num_segments=rows_per)
-    present = jax.ops.segment_max(edge_ok.astype(jnp.int32), rowids,
-                                  num_segments=rows_per)
-    return y, present.astype(bool)
+def dist_mxv_ring(blocked, u_vals, u_valid, ring, u_dt=None, *, kind="mxv",
+                  at=False):
+    """w = op(A) (ring) u through the typed operator system, distributed.
+
+    u_vals/u_valid: global (n,) arrays (any sharding; resharded by GSPMD).
+    Returns (w_vals, w_valid) as global (n,) arrays sharded over the mesh
+    axis.  `ring` may be a semiring object or name; `at` applies A.T.
+    """
+    return dist_mxv_arrays(
+        (blocked.rowids, blocked.cols, blocked.vals, blocked.edge_ok,
+         blocked.csc_perm),
+        blocked, u_vals, u_valid, ring, u_dt, kind=kind, at=at)
+
+
+def dist_mxv_arrays(arrays, blocked, u_vals, u_valid, ring, u_dt=None, *,
+                    kind="mxv", at=False):
+    """Like :func:`dist_mxv_ring` but with the blocked arrays passed as
+    explicit (possibly traced) operands — callers embedding this inside a
+    cached jit MUST route the arrays through jit inputs, never closures."""
+    from ..core.dtypes import lookup_dtype
+    from ..core.engine import dense, sparse as spx, store as st
+
+    b_rowids, b_cols, b_vals, b_edge_ok, b_csc_perm = arrays
+    mesh, axis = blocked.mesh, blocked.axis
+    n, rows_per, n_blocks = blocked.n, blocked.rows_per, blocked.n_blocks
+    a_dt = blocked.dtype
+    if u_dt is None:
+        u_dt = lookup_dtype(np.asarray(u_vals).dtype)
+    ring = _resolve_ring(ring, a_dt if kind == "mxv" else u_dt,
+                         u_dt if kind == "mxv" else a_dt)
+    mult, mono = ring.binaryop, ring.monoid
+    contract_rows = (kind == "mxv") == bool(at)
+    vspec = jax.tree_util.tree_map(lambda _: P(axis, None), b_vals)
+
+    def pad_to(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)]) \
+            if x.shape[0] < n else x
+
+    u_vals = jax.tree_util.tree_map(pad_to, u_vals)
+    u_valid = pad_to(u_valid, False)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), vspec, P(axis, None),
+                       P(axis, None), P(axis), P(axis)),
+             out_specs=(P(axis), P(axis)))
+    def kernel(rowids, cols, vals, edge_ok, csc_perm, uv_blk, uh_blk):
+        b = jax.lax.axis_index(axis)
+        rowids, cols, edge_ok, csc_perm = (rowids[0], cols[0], edge_ok[0],
+                                           csc_perm[0])
+        vals = jax.tree_util.tree_map(lambda a: a[0], vals)
+        g_rows = rowids.astype(jnp.int64) + b.astype(jnp.int64) * rows_per
+        g_cols = cols.astype(jnp.int64)
+        eff_rows, eff_cols = (g_cols, g_rows) if at else (g_rows, g_cols)
+        k_ids = eff_cols if kind == "mxv" else eff_rows
+        if contract_rows:
+            # device owns its k-slice of u: gather locally at block rows
+            xg = st.tree_take(uv_blk, rowids, 0)
+            xh = jnp.take(uh_blk, rowids, mode="fill", fill_value=False)
+        else:
+            uv_full = jax.lax.all_gather(uv_blk, axis, tiled=True)
+            uh_full = jax.lax.all_gather(uh_blk, axis, tiled=True)
+            xg = st.tree_take(uv_full, cols, 0)
+            xh = jnp.take(uh_full, cols, mode="fill", fill_value=False)
+        zero = jnp.zeros_like(g_rows)
+        if kind == "mxv":
+            pos = {"i": eff_rows, "j": zero, "k": k_ids}
+            prods = dense.apply_binop(mult, vals, a_dt, xg, u_dt, pos=pos,
+                                      context_map=dense._MATMUL_MAP)
+        else:
+            pos = {"i": zero, "j": eff_cols, "k": k_ids}
+            prods = dense.apply_binop(mult, xg, u_dt, vals, a_dt, pos=pos,
+                                      context_map=dense._MATMUL_MAP)
+        ok = edge_ok & xh
+        if contract_rows:
+            # destination = global cols: (col,row)-sorted partial over n
+            seg = jnp.take(cols, csc_perm)
+            prods = st.tree_take(prods, csc_perm, 0)
+            ok = jnp.take(ok, csc_perm)
+            part_v, part_ok = spx.segment_reduce_sorted(
+                seg.astype(jnp.int32), prods, ok, mono, n, mult.return_type)
+            red_v, red_ok = _combine_partials(part_v, part_ok, mono, axis,
+                                              n_blocks)
+            sl = b * rows_per
+            out_v = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, sl, rows_per),
+                red_v)
+            out_ok = jax.lax.dynamic_slice_in_dim(red_ok, sl, rows_per)
+            return out_v, out_ok
+        # destination = local rows (already sorted): block output directly
+        out_v, out_ok = spx.segment_reduce_sorted(
+            rowids.astype(jnp.int32), prods, ok, mono, rows_per,
+            mult.return_type)
+        return out_v, out_ok
+
+    return kernel(b_rowids, b_cols, b_vals, b_edge_ok, b_csc_perm,
+                  u_vals, u_valid)
 
 
 def dist_mxv(blocked, x, ring="plus_times"):
-    """y = A (ring) x with A row-block sharded and x sharded over rows.
-
-    x: jnp array (n,) sharded P(axis).  Returns y sharded P(axis).
-    All-gather of x happens inside the shard_map kernel (ICI collective).
-    """
-    mesh = blocked.mesh
-    axis = blocked.axis
-    rows_per = blocked.rows_per
-
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                       P(axis, None), P(axis)),
-             out_specs=(P(axis), P(axis)))
-    def kernel(rowids, cols, vals, edge_ok, x_blk):
-        x_full = jax.lax.all_gather(x_blk, axis, tiled=True)
-        y, present = _local_spmv(rowids[0], cols[0], vals[0], edge_ok[0],
-                                 x_full, rows_per, ring)
-        return y, present
-
-    return kernel(blocked.rowids, blocked.cols, blocked.vals, blocked.edge_ok, x)
+    """Back-compat helper: y = A (ring) x with a dense (all-present) x.
+    Returns (y, present), both sharded over the mesh axis."""
+    valid = jnp.ones((x.shape[0],), bool)
+    return dist_mxv_ring(blocked, x, valid, ring, kind="mxv")
 
 
 def dist_bfs_step(blocked, frontier, visited, levels, depth):
-    """One level-BFS step, fully sharded.
+    """One level-BFS step, fully sharded, via the typed lor_land semiring.
 
     frontier/visited: bool (n,) sharded; levels: int32 (n,) sharded.
     Returns (new_frontier, new_visited, new_levels, frontier_nonempty).
     """
+    from .. import semiring as semiring_ns
+    from ..core.dtypes import BOOL
+
     levels = jnp.where(frontier, depth, levels)
     visited = visited | frontier
-    y, present = dist_mxv(blocked, frontier.astype(jnp.float32), "lor_second")
-    new_frontier = present & (y > 0) & ~visited
+    ring = semiring_ns.lor_land[bool]
+    y, present = dist_mxv_ring(blocked, frontier, frontier, ring, BOOL,
+                               kind="vxm")
+    new_frontier = present & y & ~visited
     any_left = jnp.any(new_frontier)
     return new_frontier, visited, levels, any_left
 
 
 def dist_pagerank_step(blocked, r, inv_outdeg, damping, base):
-    """One PageRank iteration: r' = damping * A^T-style propagate + base."""
+    """One PageRank iteration through plus_times: r' = damping * (r/deg) A
+    + base (pull formulation over the row-sharded adjacency)."""
     contrib = r * inv_outdeg
-    y, present = dist_mxv(blocked, contrib, "plus_times")
-    return damping * y + base
+    y, present = dist_mxv_ring(blocked, contrib,
+                               jnp.ones_like(contrib, bool), "plus_times",
+                               kind="vxm")
+    return damping * jnp.where(present, y, 0.0) + base

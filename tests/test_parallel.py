@@ -138,3 +138,71 @@ def test_entry_compiles():
     out.block_until_ready()
     assert out.shape == args[1].shape  # args[1] is the rank vector
     assert abs(float(out.sum()) - 1.0) < 1e-3
+
+
+@needs_8
+def test_dist_semiring_parity_vs_single_device():
+    """shard_matrix on a sparse-backed Matrix routes mxv/vxm through the
+    distributed typed-semiring kernel; parity vs the single-device engine
+    for several semirings and both transposes (VERDICT r2 #5)."""
+    mesh = make_mesh((8,), ("i",))
+    n = 128
+    rng = np.random.default_rng(5)
+    lin = np.sort(rng.choice(n * n, 900, replace=False))
+    r, c = lin // n, lin % n
+    v = rng.random(len(r)).astype(np.float32)
+    cases = [
+        ("plus_times", "FP32", v, False),
+        ("min_plus", "FP32", v, True),
+        ("max_first", "INT64", (v * 50).astype(np.int64) + 1, True),
+        ("lor_land", "BOOL", np.ones(len(r), bool), True),
+    ]
+    for ring_name, dt, vv, exact in cases:
+        with gb.config.set(auto_sparse_limit=0):
+            A = gb.Matrix.from_coo(r, c, vv, dtype=dt, nrows=n, ncols=n)
+            A2 = gb.Matrix.from_coo(r, c, vv, dtype=dt, nrows=n, ncols=n)
+        shard_matrix(A, mesh)
+        assert A._dist is not None
+        ring = getattr(gb.semiring, ring_name)
+        np_dt = np.dtype(gb.dtypes.lookup_dtype(dt).np_type)
+        x = gb.Vector.from_dense((rng.random(n) * 10).astype(np_dt))
+        for expr_d, expr_s in [
+            (A.mxv(x, ring), A2.mxv(x, ring)),
+            (x.vxm(A, ring), x.vxm(A2, ring)),
+            (A.T.mxv(x, ring), A2.T.mxv(x, ring)),
+            (x.vxm(A.T, ring), x.vxm(A2.T, ring)),
+        ]:
+            got = expr_d.new()
+            exp = expr_s.new()
+            if exact:
+                assert got.isequal(exp), (ring_name, expr_d.method_name)
+            else:
+                # fp reduction order differs across block partials
+                assert got.isclose(exp, rel_tol=1e-4), ring_name
+
+
+@needs_8
+def test_dist_masked_bfs_loop_sparse():
+    """The notebook BFS loop on a shard_matrix()-ed sparse adjacency ==
+    the single-device result (masked assign + replace + distributed vxm)."""
+    mesh = make_mesh((8,), ("i",))
+    n = 96
+    r, c, v, ok = _sym_graph(n, seed=3)
+    with gb.config.set(auto_sparse_limit=0):
+        A = gb.Matrix.from_coo(r, c, np.ones(len(r), bool), nrows=n, ncols=n)
+        A2 = gb.Matrix.from_coo(r, c, np.ones(len(r), bool), nrows=n, ncols=n)
+    shard_matrix(A, mesh)
+
+    def bfs(M):
+        q = gb.Vector.from_coo([0], [True], size=n)
+        lev = gb.Vector(gb.dtypes.INT32, n)
+        d = 0
+        while d <= n:
+            d += 1
+            lev(mask=q.V)[:] = d
+            q(~lev.S, replace=True) << q.vxm(M, gb.semiring.lor_land[bool])
+            if q.nvals == 0:
+                break
+        return lev
+
+    assert bfs(A).isequal(bfs(A2))
