@@ -21,6 +21,11 @@ def _scalar_dyn(value, dtype):
     import jax.numpy as jnp
 
     if isinstance(value, Scalar):
+        if value._is_empty:
+            from ..exceptions import EmptyObject
+
+            raise EmptyObject(
+                "Empty Scalar is not allowed as a bound scalar operand")
         return value._vals.astype(dtype.np_type)
     if isinstance(value, jax.Array):
         return value.astype(dtype.np_type)
@@ -219,8 +224,28 @@ class Collection(BaseType):
     def select(self, op, thunk=None):
         """Keep a structural subset.  Reference matrix.py:2452 / vector.py:1463."""
         from . import execute
+        from .mask import Mask
         from .matrix import TransposedMatrix
 
+        if isinstance(op, BaseType) and op.dtype == BOOL and not op._is_scalar:
+            # boolean collection: value-mask semantics
+            # (reference tests/test_vector.py:754)
+            from .mask import ValueMask
+
+            op = ValueMask(op)
+        if isinstance(op, Mask):
+            if thunk is not None and thunk is not False:
+                raise TypeError(
+                    "thunk argument not allowed when selecting with a mask")
+            if op.parent.ndim != self.ndim:
+                raise TypeError(
+                    "Mask used as a select operator must have the same rank "
+                    f"as the input; got {op.parent.ndim}-d mask for "
+                    f"{self.ndim}-d input")
+            keep = op.new()  # complement/value resolved to kept positions
+            from graphblas_tpu import binary as binary_ns
+
+            return self.ewise_mult(keep, binary_ns.first)
         if isinstance(op, (BaseExpression,)) or (
             hasattr(op, "method_name") and not isinstance(op, str)
             and find_opclass(op)[1] == "UnknownOpClass"
@@ -338,9 +363,14 @@ class Collection(BaseType):
         return out
 
     def get(self, *index, default=None):
-        """Get a single element as a Python value (reference matrix.py:804)."""
+        """Get a single element as a Python value (reference matrix.py:804).
+        The default may be passed positionally after the indices:
+        ``A.get(row, col, default)`` / ``v.get(idx, default)``."""
         if len(index) == 1 and isinstance(index[0], tuple):
             index = index[0]
+        if len(index) == self.ndim + 1:
+            default = index[self.ndim]
+            index = index[: self.ndim]
         key = tuple(index) if self.ndim == 2 else index[0]
         s = self[key].new()
         v = s.value
@@ -378,11 +408,13 @@ class Collection(BaseType):
 
         import jax.numpy as jnp
 
+        from .matrix import TransposedMatrix
+
         if isinstance(value, InfixExprBase):
             value = value.new()
         if isinstance(value, AmbiguousAssignOrExtract):
             value = value.new()
-        if isinstance(value, BaseExpression):
+        if isinstance(value, (BaseExpression, TransposedMatrix)):
             value = value.new()
         axis_arrays = []
         region_ndim = 0
@@ -392,6 +424,40 @@ class Collection(BaseType):
             else:
                 axis_arrays.append(jnp.asarray(ix.index))
                 region_ndim += 1
+        # mask-rank case analysis (reference matrix.py:2905+): a submask must
+        # match the extracted region's rank; a C-space vector mask is only
+        # legal for row/col assign on a matrix (GrB_Row/Col_assign)
+        cmask_vec = None
+        if mask is not None:
+            m_ndim = mask.parent.ndim
+            if is_submask:
+                if region_ndim == 0:
+                    raise TypeError(
+                        "Single element assign does not accept a submask")
+                if m_ndim != region_ndim:
+                    if m_ndim == 2:
+                        raise TypeError(
+                            "Indices for subassign imply Vector submask, "
+                            "but got Matrix mask instead")
+                    raise TypeError(
+                        "Indices for subassign imply Matrix submask, "
+                        "but got Vector mask instead")
+            elif self.ndim == 2 and m_ndim == 1:
+                if region_ndim == 0:
+                    raise TypeError(
+                        "Unable to use Vector mask on single element "
+                        "assignment to a Matrix")
+                if region_ndim == 2 or not any(
+                        ix.is_scalar for ix in resolver.indices):
+                    raise TypeError(
+                        "Unable to use Vector mask on Matrix assignment "
+                        "to a Matrix")
+                cmask_vec = "row" if resolver.indices[0].is_scalar else "col"
+                need = self.shape[1] if cmask_vec == "row" else self.shape[0]
+                if mask.parent.shape[0] != need:
+                    raise DimensionMismatch(
+                        f"mask size {mask.parent.shape[0]} does not match "
+                        f"{'ncols' if cmask_vec == 'row' else 'nrows'} {need}")
         if isinstance(value, Scalar) or _is_scalar_like(value):
             sval = _as_scalar(value)
             execute.assign_update(
@@ -399,6 +465,7 @@ class Collection(BaseType):
                 (sval._vals, sval._valid),
                 mask=mask, accum=accum, replace=replace, is_submask=is_submask,
                 value_is_scalar=True, scalar_dt=sval.dtype,
+                cmask_vec=cmask_vec,
             )
             return
         if not isinstance(value, BaseType):
@@ -439,7 +506,8 @@ class Collection(BaseType):
         elif self.ndim == 2 and value.ndim == 2:
             pass
         execute.assign_update(self, tuple(axis_arrays), value, mask=mask,
-                              accum=accum, replace=replace, is_submask=is_submask)
+                              accum=accum, replace=replace,
+                              is_submask=is_submask, cmask_vec=cmask_vec)
 
     def _delete_at(self, resolver, mask=None):
         from . import execute

@@ -59,7 +59,11 @@ def _check_mask(mask, output=None):
                 "got a bare collection.  Use `M.S` or `M.V`."
             )
         raise TypeError(f"Invalid mask: {type(mask)}")
-    if output is not None and output.shape != mask.parent.shape:
+    # a vector mask on a matrix target is legal for row/col assign
+    # (GrB_Row_assign / GrB_Col_assign take a vector mask); rank mismatch is
+    # validated at the use site, same-rank shape mismatch is an error now
+    if (output is not None and mask.parent.ndim == output.ndim
+            and output.shape != mask.parent.shape):
         raise DimensionMismatch(
             f"mask shape {mask.parent.shape} does not match output shape {output.shape}"
         )
@@ -178,10 +182,19 @@ class BaseType:
         if mask is not None:
             if _mask_shape is not None:
                 mask = _check_mask(mask)
-                if mask.parent.shape != tuple(_mask_shape):
+                region_shape = tuple(_mask_shape)
+                if mask.parent.ndim != len(region_shape):
+                    # reference error contract (matrix.py:2905+)
+                    kind = "Vector" if len(region_shape) == 1 else "Matrix"
+                    got = "Matrix" if mask.parent.ndim == 2 else "Vector"
+                    raise TypeError(
+                        f"Indices for subassign imply {kind} submask, "
+                        f"but got {got} mask instead"
+                    )
+                if mask.parent.shape != region_shape:
                     raise DimensionMismatch(
                         f"mask shape {mask.parent.shape} does not match "
-                        f"region shape {tuple(_mask_shape)}"
+                        f"region shape {region_shape}"
                     )
             else:
                 mask = _check_mask(mask, self)
@@ -190,6 +203,11 @@ class BaseType:
                 raise TypeError("mask and input_mask arguments cannot both be given")
             input_mask = _check_mask(input_mask)
         if accum is not None:
+            if isinstance(accum, str):
+                # "plus" / "+" accum strings (reference test_vector.py:361)
+                from .operator.utils import binary_from_string
+
+                accum = binary_from_string(accum)
             accum = _expect_op(self, accum, ("BinaryOp", "Monoid"), within="accum")
             if find_opclass(accum)[1] == "Monoid":
                 accum = accum.binaryop
@@ -229,10 +247,15 @@ class BaseType:
                 self._update_from_value(expr, accum=accum)
                 return
             if _is_scalar_like(expr) and not self._is_scalar:
-                raise TypeError(
-                    f"assignment value must be a {type(self).__name__} expression; "
-                    "to assign a scalar to all elements use `C[...] << scalar`"
-                )
+                # C << scalar / C(M) << scalar assigns to ALL elements
+                # (reference test_matrix.py:624-628)
+                from .expr import IndexerResolver
+
+                keys = (slice(None),) * self.ndim
+                self._assign_at(IndexerResolver(self, keys), expr, mask=mask,
+                                accum=accum, replace=replace,
+                                is_submask=False)
+                return
             raise TypeError(f"assignment value must be an expression; got {type(expr)}")
         if expr.output_type is not type(self):
             # allow Vector <- ScalarExpression etc to fail clearly
@@ -244,6 +267,13 @@ class BaseType:
         if expr.shape != self.shape:
             raise DimensionMismatch(
                 f"Expression shape {expr.shape} does not match target shape {self.shape}"
+            )
+        if mask is not None and mask.parent.shape != self.shape:
+            # vector masks are only legal for row/col assign (handled in
+            # _assign_at), not for whole-collection expression updates
+            raise DimensionMismatch(
+                f"mask shape {mask.parent.shape} does not match output shape "
+                f"{self.shape}"
             )
         execute.update_into(self, expr, mask=mask, accum=accum, replace=replace,
                             opts=opts)

@@ -172,15 +172,21 @@ def diag_sparse_store_k(v_vals, v_valid, size, k, n):
 
 
 def densify(sp, dtype):
-    """SparseStore -> (vals, valid) bitmap store (device scatter; padding and
-    invalid entries drop out via the valid plane / OOB-drop semantics)."""
+    """SparseStore -> (vals, valid) bitmap store.
+
+    Invalid slots are routed to out-of-bounds sentinels BEFORE the scatter
+    (mode="drop") — stores fresh from ops can carry an invalid duplicate at
+    a live coordinate, and a duplicate-index scatter has undefined winner
+    order, so scattering `ok` directly could erase the live entry."""
     shape = (sp.nrows, sp.ncols)
     vals = st.zeros_values(shape, dtype)
     valid = jnp.zeros(shape, bool)
-    r, c = sp.rowids, sp.cols
-    valid = valid.at[r, c].set(sp.ok, mode="drop")
+    r = jnp.where(sp.ok, sp.rowids, sp.nrows)
+    c = jnp.where(sp.ok, sp.cols, sp.ncols)
+    valid = valid.at[r, c].set(True, mode="drop")
     if isinstance(sp.vals, dict):
-        vals = {k: vals[k].at[r, c].set(v, mode="drop") for k, v in sp.vals.items()}
+        vals = {k: vals[k].at[r, c].set(v, mode="drop")
+                for k, v in sp.vals.items()}
     else:
         vals = vals.at[r, c].set(sp.vals, mode="drop")
     return vals, valid
@@ -1073,14 +1079,18 @@ def ewise_mult_sparse_dense(sp_dyn, at, op, sp_dt, d_vals, d_valid, d_dt,
 
 
 def densify_dyn(dyn, nrows, ncols, dtype):
-    """Dyn-tuple variant of densify() usable inside jit."""
+    """Dyn-tuple variant of densify() usable inside jit.  Invalid slots are
+    routed out of bounds before the scatter (see densify: a duplicate-index
+    scatter has undefined winner order)."""
     rowids, cols, vals, ok, _ = dyn
     shape = (nrows, ncols)
     out_vals = st.zeros_values(shape, dtype)
-    valid = jnp.zeros(shape, bool).at[rowids, cols].set(ok, mode="drop")
+    r = jnp.where(ok, rowids, nrows)
+    c = jnp.where(ok, cols, ncols)
+    valid = jnp.zeros(shape, bool).at[r, c].set(True, mode="drop")
     if isinstance(vals, dict):
-        out_vals = {k: out_vals[k].at[rowids, cols].set(v, mode="drop")
+        out_vals = {k: out_vals[k].at[r, c].set(v, mode="drop")
                     for k, v in vals.items()}
     else:
-        out_vals = out_vals.at[rowids, cols].set(vals, mode="drop")
+        out_vals = out_vals.at[r, c].set(vals, mode="drop")
     return out_vals, valid

@@ -850,13 +850,17 @@ class _ShimExpr:
 
 
 def T_extract_input_mask(expr, dyn):
-    # statics: (inner_statics, mask_statics); input_mask filters the parent
-    # collection before extraction (reference core/expr.py:333-377)
-    inner_statics, ms = expr._statics
+    # statics: (inner_statics, (mask_statics, vec_axis)); input_mask filters
+    # the parent collection before extraction (reference core/expr.py:333-377)
+    inner_statics, (ms, vec_axis) = expr._statics
     parent_store = dyn[0]
     mask_dyn = dyn[1]
     rest = dyn[2:]
     arr = _mask_arr(ms, mask_dyn)
+    if vec_axis == "row":
+        arr = arr[None, :]  # broadcast over rows; masks the extracted row
+    elif vec_axis == "col":
+        arr = arr[:, None]
     vals, valid = parent_store
     shim = _ShimExpr("extract", expr.op, inner_statics, expr.dtype, expr._shape)
     if isinstance(inner_statics[1], str):
@@ -867,13 +871,44 @@ def T_extract_input_mask(expr, dyn):
 
 
 def apply_input_mask(expr, parent, input_mask, indices):
-    """Wrap an extract expression with an input mask on the parent."""
-    if input_mask.parent.shape != parent.shape:
-        raise ex.DimensionMismatch(
-            f"input_mask shape {input_mask.parent.shape} does not match "
-            f"collection shape {parent.shape}"
+    """Wrap an extract expression with an input mask on the parent.
+
+    Error contract and vector-mask semantics follow the reference
+    (core/expr.py:333-377): a Vector input_mask on a Matrix is legal only
+    for row/col extract and must span ncols/nrows respectively.
+    """
+    if expr.method_name == "extract_element":
+        raise ValueError(
+            "There is no need to use `input_mask` for single element "
+            "extraction")
+    m_nd = input_mask.parent.ndim
+    vec_axis = None
+    if parent.ndim == 2 and m_nd == 1:
+        pattern = expr._statics[1] if isinstance(expr._statics[1], str) else None
+        if pattern == "row":
+            if input_mask.parent.shape[0] != parent.shape[1]:
+                raise ValueError(
+                    "Size of `input_mask` Vector does not match ncols of "
+                    "Matrix")
+            vec_axis = "row"
+        elif pattern == "col":
+            if input_mask.parent.shape[0] != parent.shape[0]:
+                raise ValueError(
+                    "Size of `input_mask` Vector does not match nrows of "
+                    "Matrix")
+            vec_axis = "col"
+        else:
+            raise TypeError(
+                "Got Vector `input_mask` when extracting a submatrix from "
+                "a Matrix")
+    elif parent.ndim == 1 and m_nd == 2:
+        raise TypeError("Mask object must be type Vector")
+    elif input_mask.parent.shape != parent.shape:
+        raise ValueError(
+            f"Shape of `input_mask` does not match shape of input: "
+            f"{input_mask.parent.shape} vs {parent.shape}"
         )
-    ms = _mask_statics(input_mask)
+    ms = (_mask_statics(input_mask), vec_axis)
     args = [expr.args[0], input_mask.parent, *expr.args[1:]]
     return BaseExpression(
         "extract_input_mask",
@@ -929,6 +964,17 @@ def T_select(expr, dyn):
     thunk = dyn[1]
     return dense.select_op(a_vals, a_valid, expr.op, a_dt, thunk, thunk_dt,
                            is_matrix, expr.dtype)
+
+
+def T_select_scalar(expr, dyn):
+    # statics: (a_dt, thunk_dt); value-family select on a 0-d Scalar store
+    a_dt, thunk_dt = expr._statics
+    a_vals, a_valid = dyn[0]
+    thunk = dyn[1]
+    x = st.cast_values(a_vals, a_dt, expr.op.type)
+    z = jnp.zeros((), jnp.int64)
+    pred = expr.op._jax_func(x, z, z, jnp.asarray(thunk))
+    return st.cast_values(a_vals, a_dt, expr.dtype), a_valid & pred
 
 
 def T_reduce_axis(expr, dyn):
@@ -1161,7 +1207,12 @@ def _assign_sparse_target(target, axis_arrays, value, *, mask, accum,
             rr = jnp.take(inv_r, jnp.minimum(r, nrows))
             cc = jnp.take(inv_c, jnp.minimum(c, ncols))
             if arr.ndim == 1:
-                got = jnp.take(arr, jnp.minimum(rr, R - 1), mode="clip")
+                # vector submask runs along the region's non-singleton axis:
+                # a row region [i, J] is masked by column position, a column
+                # region [I, j] by row position
+                pos = rr if C == 1 else cc
+                got = jnp.take(arr, jnp.minimum(pos, arr.shape[0] - 1),
+                               mode="clip")
             else:
                 flat = arr.ravel()
                 got = jnp.take(flat, jnp.minimum(rr.astype(jnp.int64), R - 1)
@@ -1198,11 +1249,12 @@ def _assign_sparse_target(target, axis_arrays, value, *, mask, accum,
 # assign funnel (GrB_assign / GxB_subassign semantics)
 def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
                   replace=False, is_submask=False, value_is_scalar=False,
-                  scalar_dt=None):
+                  scalar_dt=None, cmask_vec=None):
     """axis_arrays: tuple of device int arrays (rows, cols) for Matrix,
     (idx,) for Vector.  `value` is a collection of the region shape, or a
     scalar () array when value_is_scalar."""
-    if getattr(target, "_sparse", None) is not None and target.ndim == 2:
+    if (getattr(target, "_sparse", None) is not None and target.ndim == 2
+            and cmask_vec is None):
         done = _assign_sparse_target(target, axis_arrays, value, mask=mask,
                                      accum=accum, replace=replace,
                                      is_submask=is_submask,
@@ -1219,7 +1271,8 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
     ndim = target.ndim
     region_shape = tuple(int(a.shape[0]) for a in axis_arrays)
     key = ("assign", ndim, c_dt, v_dt, ms, typed_accum, bool(replace),
-           bool(is_submask), bool(value_is_scalar), target.shape, region_shape)
+           bool(is_submask), bool(value_is_scalar), target.shape, region_shape,
+           cmask_vec)
 
     if value_is_scalar:
         val_dyn = value  # (val, present) () arrays
@@ -1247,9 +1300,14 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
                 z_valid, c_dt)
         mask_arr = _mask_arr(ms, mask_dyn)
         if is_submask:
-            # mask shaped like the region: scatter it into C-space
+            # mask shaped like the region: scatter it into C-space.  A
+            # vector submask over a matrix row/col region (one singleton
+            # axis) reshapes to the region's orientation.
             if mask_arr is not None:
                 if ndim == 2:
+                    if mask_arr.ndim == 1:
+                        mask_arr = mask_arr.reshape(
+                            (len(axes[0]), len(axes[1])))
                     sm = jnp.zeros(target.shape, bool)
                     sm = sm.at[axes[0][:, None], axes[1][None, :]].set(mask_arr)
                 else:
@@ -1258,15 +1316,26 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
                 sm = None
             return dense.subassign(c_vals, c_valid, c_dt, s_vals, s_valid, c_dt,
                                    region, sm, typed_accum, replace)
-        # C-space mask: first apply the region update, then mask the whole C
+        # C-space mask: first apply the region update, then mask C.  The
+        # scope of a matrix C-mask (and its replace) is the whole matrix;
+        # a vector C-mask on a row/col assign (GrB_Row/Col_assign) scopes
+        # to that row/col only — positions outside it are always kept.
         t_vals, t_valid = dense.subassign(c_vals, c_valid, c_dt, s_vals, s_valid,
                                           c_dt, region, None, typed_accum, False)
         if mask_arr is None and not replace:
             return t_vals, t_valid
+        if mask_arr is None:
+            full = jnp.ones(target.shape, bool)
+        elif cmask_vec is not None:
+            full = jnp.ones(target.shape, bool)
+            if cmask_vec == "row":
+                full = full.at[axes[0][0], :].set(mask_arr)
+            else:
+                full = full.at[:, axes[1][0]].set(mask_arr)
+        else:
+            full = mask_arr
         return dense.write_back(c_vals, c_valid, c_dt, t_vals, t_valid, c_dt,
-                                mask_arr if mask_arr is not None
-                                else jnp.ones(target.shape, bool),
-                                None, replace)
+                                full, None, replace)
 
     record(f"assign({target.name or type(target).__name__}, submask={is_submask})")
     vals, valid = _run(key, fn, (target._vals, target._valid), _mask_dyn(mask),

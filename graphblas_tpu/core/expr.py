@@ -77,6 +77,10 @@ class IndexerResolver:
 
     def __init__(self, obj, keys):
         self.obj = obj
+        # Ellipsis means the whole collection: v[...] / A[...]
+        # (reference core/expr.py index parsing)
+        if keys is Ellipsis:
+            keys = slice(None) if obj.ndim == 1 else (slice(None), slice(None))
         if obj.ndim == 1:
             if isinstance(keys, tuple):
                 if len(keys) != 1:

@@ -467,7 +467,9 @@ for _cls in _TARGET_CLASSES:
     _cls.__abs__ = __abs__
     _cls.__xor__ = __xor__
     _cls.__rxor__ = __rxor__
-    _cls.__hash__ = object.__hash__
+    # Scalars define value-equality __eq__ and are unhashable, matching the
+    # reference (tests/test_scalar.py:251); collections stay identity-hashed
+    _cls.__hash__ = None if _cls is Scalar else object.__hash__
 
 
 # autocompute dunders for expressions: delegate to the computed value

@@ -380,7 +380,14 @@ class Matrix(Collection):
             r, c, v = self._sparse.host_coo()
             out_v = None
             if values:
-                out_v = v
+                if isinstance(v, dict):
+                    # struct UDT: assemble field dict into a structured array
+                    n = len(r)
+                    out_v = np.empty(n, self.dtype.np_type)
+                    for name, field in v.items():
+                        out_v[name] = field
+                else:
+                    out_v = v
                 if dtype is not None:
                     out_v = out_v.astype(lookup_dtype(dtype).np_type)
             return (r.astype(np.uint64) if rows else None,
@@ -619,6 +626,13 @@ class Matrix(Collection):
         op_obj, oc = find_opclass(op)
         if oc == "Aggregator":
             typed = op_obj[self.dtype] if isinstance(op_obj, Aggregator) else op_obj
+            parent_agg = typed.parent if isinstance(typed, TypedAggregator) else op_obj
+            name = getattr(parent_agg, "name", None)
+            if name in ("argmin", "argmax", "first_index", "last_index"):
+                # reference error contract (tests/test_matrix.py:1484-1487)
+                raise ValueError(
+                    f"Aggregator {name} may not be used with "
+                    "Matrix.reduce_scalar")
             statics = (self.dtype, None, False)
             return BaseExpression("reduce_agg", typed, [self], statics,
                                   execute.T_reduce_agg, typed.return_type, (),

@@ -25,6 +25,12 @@ class TypedBuiltinSelectOp(TypedBuiltinIndexUnaryOp):
     def __call__(self, val, thunk=None):
         if thunk is None:
             thunk = False
+        if not hasattr(val, "select"):
+            # literal scalar first arg: select.valuene(5, s) coerces to a
+            # Scalar (reference tests/test_scalar.py:553)
+            from ..scalar import Scalar
+
+            val = Scalar.from_value(val)
         return val.select(self, thunk)
 
 
@@ -40,6 +46,12 @@ class SelectOp(IndexUnaryOp):
     def __call__(self, val, thunk=None):
         if thunk is None:
             thunk = False
+        if not hasattr(val, "select"):
+            # literal scalar first arg: select.valuene(5, s) coerces to a
+            # Scalar (reference tests/test_scalar.py:553)
+            from ..scalar import Scalar
+
+            val = Scalar.from_value(val)
         return val.select(self, thunk)
 
     @classmethod

@@ -38,6 +38,31 @@ class Scalar(BaseType):
         self._is_cscalar = bool(is_cscalar)
         self._set_store(st.zeros_values((), self.dtype), jnp.zeros((), bool))
 
+    def __call__(self, *optional, mask=None, accum=None, replace=False,
+                 input_mask=None, **opts):
+        # reference error contract (tests/test_scalar.py:223-248)
+        from graphblas_tpu import replace as replace_singleton
+
+        if replace or replace_singleton in optional:
+            raise TypeError(
+                "'replace' argument may not be True for Scalar")
+        if mask is not None:
+            raise TypeError("Mask not allowed for Scalars")
+        if input_mask is not None:
+            raise TypeError("input_mask not allowed for Scalars")
+        return super().__call__(*optional, mask=mask, accum=accum,
+                                replace=replace, input_mask=input_mask,
+                                **opts)
+
+    def __invert__(self):
+        from graphblas_tpu import unary
+
+        if self.dtype.name != "BOOL":
+            raise TypeError(
+                "The invert operator, `~x`, is only supported for BOOL "
+                f"dtype, not {self.dtype.name}")
+        return unary.lnot(self)
+
     # ------------------------------------------------------------------ #
     @classmethod
     def _empty(cls, dtype, shape=(), name=None):
@@ -215,6 +240,13 @@ class Scalar(BaseType):
             rdt = lookup_dtype(type(rdef)) if _is_scalar_like(rdef) else other.dtype
             import jax.numpy as jnp
 
+            from ..exceptions import EmptyObject
+
+            for d in (ldef, rdef):
+                if isinstance(d, Scalar) and d.is_empty:
+                    raise EmptyObject(
+                        "Empty Scalar is not allowed as an ewise_union "
+                        "default")
             ldyn = jnp.asarray(np.array(ldef if not isinstance(ldef, Scalar) else ldef.value,
                                         op.type.np_type))
             rdyn = jnp.asarray(np.array(rdef if not isinstance(rdef, Scalar) else rdef.value,
@@ -269,7 +301,40 @@ class Scalar(BaseType):
                               execute.T_apply_bound, op.return_type, (), Scalar)
 
     def select(self, op, thunk=None):
-        raise TypeError("Scalar does not support select")
+        """Keep the value when the value-family select predicate holds.
+        Reference scalar select surface (tests/test_scalar.py:550)."""
+        from . import execute
+        from .operator.base import find_opclass
+        from .operator.utils import get_typed_op
+
+        if isinstance(op, BaseExpression):
+            from graphblas_tpu.select import _match_expr
+
+            match = _match_expr(self, op)
+            if match is None:
+                raise TypeError(
+                    "Unable to interpret select expression; use a SelectOp")
+            op, thunk = match
+        if thunk is None:
+            thunk = False
+        if isinstance(thunk, Scalar):
+            tdt = thunk.dtype
+            tv = thunk.value
+        else:
+            tdt = lookup_dtype(type(thunk))
+            tv = thunk
+        typed = get_typed_op(op, self.dtype, tdt, kind="select")
+        _, oc = find_opclass(typed)
+        if oc not in ("SelectOp", "IndexUnaryOp"):
+            raise TypeError(f"select requires a SelectOp; got {oc}")
+        if typed._positional is not None:
+            raise TypeError("positional select ops are not defined for Scalar")
+        import jax.numpy as jnp
+
+        tval = jnp.asarray(np.array(tv, tdt.np_type))
+        statics = (self.dtype, tdt)
+        return BaseExpression("select", typed, [self, tval], statics,
+                              execute.T_select_scalar, self.dtype, (), Scalar)
 
     # ------------------------------------------------------------------ #
     def wait(self, how="materialize"):

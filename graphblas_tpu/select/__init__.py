@@ -61,7 +61,7 @@ def _match_expr(parent, expr):
     the equivalent (select_op, thunk); else None.  Reference select/__init__.py:71."""
     from ..core.base import BaseExpression
 
-    if not isinstance(expr, BaseExpression) or expr.method_name != "apply":
+    if not isinstance(expr, BaseExpression):
         return None
     op = expr.op
     opname = op.name if hasattr(op, "name") else None
@@ -69,10 +69,20 @@ def _match_expr(parent, expr):
     if selname is None:
         return None
     args = expr.args
-    if len(args) < 2 or args[0] is not parent:
-        return None
-    thunk = args[1]
-    return _ops[selname], thunk
+    if expr.method_name == "apply":
+        if len(args) < 2 or args[0] is not parent:
+            return None
+        return _ops[selname], args[1]
+    if (expr.method_name == "ewise_mult" and getattr(parent, "_is_scalar",
+                                                    False)):
+        # Scalar comparisons route through scalar-scalar ewise
+        # (select.value(s < 10), reference tests/test_scalar.py:550)
+        if len(args) < 2 or args[0] is not parent:
+            return None
+        other = args[1]
+        thunk = other.value if hasattr(other, "value") else other
+        return _ops[selname], thunk
+    return None
 
 
 def _rewrite_compare(expr, table, what):

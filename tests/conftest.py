@@ -32,6 +32,20 @@ def pytest_addoption(parser):
     parser.addoption("--blocking", dest="blocking", action="store_true",
                      default=None)
     parser.addoption("--record", dest="record", action="store_true", default=False)
+    parser.addoption(
+        "--force-sparse", dest="force_sparse", action="store_true",
+        default=False,
+        help="run the whole suite with auto_sparse_limit=0 so every Matrix "
+             "is sparse-backed — the dense-vs-sparse analog of the "
+             "reference's vanilla-backend axis (conftest.py:20-91)")
+
+
+def pytest_configure(config):
+    if config.getoption("--force-sparse", default=False) or \
+            os.environ.get("GB_FORCE_SPARSE"):
+        import graphblas_tpu as gb
+
+        gb.config["auto_sparse_limit"] = 0
 
 
 def pytest_collection_modifyitems(config, items):

@@ -7,7 +7,7 @@ import pytest
 import graphblas_tpu as gb
 from graphblas_tpu import agg, dtypes
 
-from .helpers import gb_from_pair, random_sparse
+from .helpers import gb_from_pair, make_A, random_sparse
 
 
 def _masked(vals, ok):
@@ -166,3 +166,58 @@ def test_custom_aggregator_errors():
         Aggregator("bad", composite=[gb.agg.count])  # missing finalize
     with pytest.raises(TypeError):
         Aggregator("bad", monoid=gb.binary.plus)  # not a monoid
+
+
+def test_reduce_agg_argminmax_matrix():
+    # reference test_matrix.py:1458 — exact expected index vectors
+    A = make_A()
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [1, 6, 5, 0, 5, 2, 4])
+    assert A.reduce_rowwise(agg.ss.argmin).new().isequal(expected)
+    assert A.T.reduce_columnwise(agg.ss.argmin).new().isequal(expected)
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [3, 4, 5, 0, 5, 2, 3])
+    assert A.reduce_rowwise(agg.ss.argmax).new().isequal(expected)
+    assert A.T.reduce_columnwise(agg.ss.argmax).new().isequal(expected)
+
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [3, 0, 5, 0, 6, 2, 1])
+    assert A.reduce_columnwise(agg.ss.argmin).new().isequal(expected)
+    assert A.T.reduce_rowwise(agg.ss.argmin).new().isequal(expected)
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [3, 0, 6, 6, 1, 4, 1])
+    assert A.reduce_columnwise(agg.ss.argmax).new().isequal(expected)
+    assert A.T.reduce_rowwise(agg.ss.argmax).new().isequal(expected)
+
+    with pytest.raises(ValueError):
+        A.reduce_scalar(agg.ss.argmin)
+
+
+def test_reduce_agg_firstlast_matrix():
+    # reference test_matrix.py:1510
+    A = make_A()
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [2, 8, 1, 3, 7, 1, 5])
+    assert A.reduce_rowwise(agg.ss.first).new().isequal(expected)
+    assert A.T.reduce_columnwise(agg.ss.first).new().isequal(expected)
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [3, 4, 1, 3, 7, 1, 3])
+    assert A.reduce_rowwise(agg.ss.last).new().isequal(expected)
+    assert A.T.reduce_columnwise(agg.ss.last).new().isequal(expected)
+
+
+def test_reduce_agg_firstlast_index_matrix():
+    # reference test_matrix.py:1566
+    A = make_A()
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [1, 4, 5, 0, 5, 2, 2])
+    assert A.reduce_rowwise(agg.ss.first_index).new().isequal(expected)
+    expected = gb.Vector.from_coo([0, 1, 2, 3, 4, 5, 6], [3, 6, 5, 2, 5, 2, 4])
+    assert A.reduce_rowwise(agg.ss.last_index).new().isequal(expected)
+
+
+def test_reduce_agg_empty_matrix():
+    # reference test_matrix.py:1612
+    A = gb.Matrix(int, 3, 4)
+    for name in ["sum", "prod", "min", "max", "count", "mean", "varp",
+                 "L2norm", "peak_to_peak"]:
+        aggr = getattr(agg, name)
+        w = A.reduce_rowwise(aggr).new()
+        assert w.nvals == 0, name
+        w = A.reduce_columnwise(aggr).new()
+        assert w.nvals == 0, name
+        s = A.reduce_scalar(aggr).new()
+        assert s.is_empty, name

@@ -10,13 +10,17 @@ import graphblas_tpu as gb
 
 
 def _A():
-    return gb.Matrix.from_coo([0, 0, 0], [0, 2, 4], [0, 1, 2],
-                              nrows=1, ncols=5, name="A_1")
+    # golden reprs pin the format column: force the bitmap backing so the
+    # suite also passes under `pytest --force-sparse`
+    with gb.config.set(auto_sparse_limit=1 << 62):
+        return gb.Matrix.from_coo([0, 0, 0], [0, 2, 4], [0, 1, 2],
+                                  nrows=1, ncols=5, name="A_1")
 
 
 def _B():
-    return gb.Matrix.from_coo([0, 2, 4], [0, 0, 0], [10, 20, 30],
-                              nrows=5, ncols=1, name="B_1")
+    with gb.config.set(auto_sparse_limit=1 << 62):
+        return gb.Matrix.from_coo([0, 2, 4], [0, 0, 0], [10, 20, 30],
+                                  nrows=5, ncols=1, name="B_1")
 
 
 def test_matrix_repr_small():

@@ -109,3 +109,81 @@ def test_matrix_masks():
     out2 = gb.Matrix(dtypes.INT64, 2, 2)
     out2(~A.S) << gb.Matrix.from_scalar(5, 2, 2)
     assert out2.to_dicts() == {0: {0: 5}, 1: {1: 5}}
+
+
+@pytest.mark.parametrize("as_matrix", [False, True])
+def test_mask_new_pairs(as_matrix):
+    """Reference test_mask.py:9-56: Mask.new(dtype, mask=m2) over all 8x8
+    mask pairs, plus complement, for vector and matrix parents."""
+    for mask_dtype in [bool, int]:
+        v1 = gb.Vector(mask_dtype, 10)
+        v1[3:6] = 0
+        v1[:3] = 10
+        v2 = gb.Vector(mask_dtype, 10)
+        v2[1::3] = 0
+        v2[::3] = 10
+        if as_matrix:
+            v1 = v1._as_matrix()
+            v2 = v2._as_matrix()
+        masks = [v1.S, v1.V, ~v1.S, ~v1.V, v2.S, v2.V, ~v2.S, ~v2.V]
+        for m1 in masks:
+            for m2 in masks:
+                expected = gb.Vector(bool, 10)
+                if as_matrix:
+                    expected = expected._as_matrix()
+                expected[...] << True
+                expected = expected.dup(mask=m1).dup(mask=m2)
+                result = m1.new(mask=m2, name="howdy")
+                assert result.name == "howdy"
+                assert result.isequal(expected, check_dtype=True)
+                # complemented
+                expected(~expected.S, replace=True) << True
+                result = m1.new(mask=m2, complement=True)
+                assert result.isequal(expected, check_dtype=True)
+        for m in masks:
+            expected = gb.Vector(bool, 10)
+            if as_matrix:
+                expected = expected._as_matrix()
+            expected[...] << True
+            expected = expected.dup(mask=m)
+            result = m.new()
+            assert result.isequal(expected, check_dtype=True)
+        with pytest.raises(TypeError):
+            m.new(mask=object())
+
+
+@pytest.mark.parametrize("as_matrix", [False, True])
+def test_mask_or_and_pairs(as_matrix):
+    """Reference test_mask.py:58-126: m1 | m2 and m1 & m2 over all pairs."""
+    for mask_dtype in [bool, int]:
+        v1 = gb.Vector(mask_dtype, 10)
+        v1[3:6] = 0
+        v1[:3] = 10
+        v2 = gb.Vector(mask_dtype, 10)
+        v2[1::3] = 0
+        v2[::3] = 10
+        if as_matrix:
+            v1 = v1._as_matrix()
+            v2 = v2._as_matrix()
+        masks = [v1.S, v1.V, ~v1.S, ~v1.V, v2.S, v2.V, ~v2.S, ~v2.V]
+        for m1 in masks:
+            for m2 in masks:
+                expected = gb.Vector(bool, 10)
+                if as_matrix:
+                    expected = expected._as_matrix()
+                expected(m1) << True
+                expected(m2) << True
+                result = (m1 | m2).new()
+                assert result.isequal(expected, check_dtype=True)
+
+                expected2 = gb.Vector(bool, 10)
+                if as_matrix:
+                    expected2 = expected2._as_matrix()
+                expected2[...] << True
+                expected2 = expected2.dup(mask=m1).dup(mask=m2)
+                result = (m1 & m2).new()
+                assert result.isequal(expected2, check_dtype=True)
+        with pytest.raises(TypeError):
+            m1 | object()
+        with pytest.raises(TypeError):
+            m1 & object()

@@ -25,7 +25,10 @@ def graph():
 
 def make_pair(graph, dtype=dtypes.FP64):
     rows, cols, vals = graph
-    dense = Matrix.from_coo(rows, cols, vals, dtype, nrows=7, ncols=7)
+    # the dense oracle is built with the sparse threshold disabled so this
+    # file still compares the two engines under `pytest --force-sparse`
+    with gb.config.set(auto_sparse_limit=1 << 62):
+        dense = Matrix.from_coo(rows, cols, vals, dtype, nrows=7, ncols=7)
     with gb.config.set(auto_sparse_limit=0):
         sparse = Matrix.from_coo(rows, cols, vals, dtype, nrows=7, ncols=7)
     assert sparse._sparse is not None
