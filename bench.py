@@ -60,7 +60,7 @@ def main():
     t_start = time.perf_counter()
     n = int(os.environ.get("BENCH_N", 1 << 19))
     avg_deg = int(os.environ.get("BENCH_DEG", 8))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 50))
     src, dst = build_graph(n, avg_deg)
     nnz = len(src)
 
@@ -127,12 +127,16 @@ def main():
     # Runs under a watchdog: the remote-compile service can stall, and the
     # PR headline number must print regardless.
     def bfs_section():
-        # sanity: rank mass ~1 (dangling leaks make this loose)
-        rsum = float(rank.reduce(gb.monoid.plus).new().value)
+        # sanity: rank mass ~1 (dangling leaks make this loose).  Host-side
+        # sum: a device reduce would cost a whole extra kernel compile on
+        # the remote-compile service (~90s measured) for a 2MB transfer
+        rsum = float(rank.to_coo()[1].sum())  # transfer-only, no compile
         assert 0.2 < rsum <= 1.5, f"pagerank mass {rsum}"
+        _log(f"rank mass {rsum:.3f}")
         with gb.config.set(auto_sparse_limit=0):
             Ab = gb.Matrix.from_coo(src, dst, np.ones(nnz, bool),
                                     dtype="BOOL", nrows=n, ncols=n)
+        _log("bool adjacency built")
         lor_land = gb.semiring.lor_land["BOOL"]
 
         def bfs(limit=40):
@@ -164,14 +168,16 @@ def main():
             "bfs_mteps": round(nnz / bfs_s / 1e6, 3),
         })
 
+    timed_out = False
     if not os.environ.get("BENCH_SKIP_BFS"):
         import threading
 
-        budget = float(os.environ.get("BENCH_BFS_BUDGET_S", 240))
+        budget = float(os.environ.get("BENCH_BFS_BUDGET_S", 300))
         th = threading.Thread(target=bfs_section, daemon=True)
         th.start()
         th.join(timeout=budget)
         if th.is_alive():
+            timed_out = True
             detail["bfs_timed_out"] = True
             _log("bfs section timed out; reporting PageRank only")
 
@@ -183,7 +189,12 @@ def main():
         "vs_baseline": 1.0,
         "detail": detail,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    if timed_out:
+        # a live device op on the abandoned BFS thread makes normal
+        # interpreter teardown abort (SIGABRT); the JSON line is out, so
+        # leave without running destructors
+        os._exit(0)
 
 
 if __name__ == "__main__":

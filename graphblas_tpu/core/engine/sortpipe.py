@@ -110,8 +110,15 @@ def sort_apply(ranks, vals):
 
 
 def sort_apply2(ranks, a, b):
-    """One sort pass routing two payloads by the same rank array — half the
-    HBM traffic and compile size of two separate sorts."""
+    """Route two payloads by the same rank array.
+
+    Measured on TPU v5e: one 3-operand ``lax.sort`` is SLOWER than two
+    (key, payload) sorts — XLA's fast radix path specializes the 2-operand
+    form — so this issues two sorts on TPU and keeps the fused form on
+    CPU where it wins."""
+    if jax.default_backend() == "tpu":
+        return (jax.lax.sort((ranks, a), num_keys=1)[1],
+                jax.lax.sort((ranks, b), num_keys=1)[1])
     return jax.lax.sort((ranks, a, b), num_keys=1)[1:]
 
 
