@@ -202,6 +202,9 @@ class BaseType:
             if mask is not None:
                 raise TypeError("mask and input_mask arguments cannot both be given")
             input_mask = _check_mask(input_mask)
+        if replace and mask is None:
+            raise TypeError(
+                "'replace' argument may only be True if a mask is provided")
         if accum is not None:
             if isinstance(accum, str):
                 # "plus" / "+" accum strings (reference test_vector.py:361)

@@ -257,6 +257,14 @@ def lookup_dtype(key, value=None):
             pass
     if key is None:
         raise TypeError("Bad dtype: None.  A valid dtype must be provided.")
+    if isinstance(key, dict):
+        # {'x': int, 'y': float} -> record dtype (reference dtypes.py:352,
+        # tests/test_dtype.py:219)
+        np_rec = np.dtype(
+            [(name, lookup_dtype(field).np_type) for name, field in key.items()],
+            align=True,
+        )
+        return lookup_dtype(np_rec)
     try:
         return register_anonymous(key)
     except Exception:

@@ -670,6 +670,9 @@ class Matrix(Collection):
         at :95-155)."""
         from . import execute
 
+        if not isinstance(n, (int, np.integer)) or isinstance(n, bool):
+            # reference error contract: 1.5 is a TypeError, -1 a ValueError
+            raise TypeError(f"n must be a positive integer; got {type(n)}")
         n = int(n)
         if n < 1:
             raise ValueError(f"n must be a positive integer; got {n}")
@@ -868,6 +871,17 @@ class TransposedMatrix:
 
     def reduce_scalar(self, op="plus", *, allow_empty=True):
         return self._matrix.reduce_scalar(op, allow_empty=allow_empty)
+
+    def power(self, n, op="plus_times"):
+        """A.T raised to the n-th semiring power (reference matrix.py:2754
+        supports the transposed view); materializes the transpose first."""
+        return self.new().power(n, op)
+
+    def reposition(self, row_offset, column_offset, *, nrows=None,
+                   ncols=None):
+        """Reposition the transposed view (reference matrix.py:2679)."""
+        return self.new().reposition(row_offset, column_offset, nrows=nrows,
+                                     ncols=ncols)
 
     def to_coo(self, dtype=None, *, rows=True, columns=True, values=True,
                sort=True):

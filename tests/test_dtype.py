@@ -75,3 +75,69 @@ def test_dtype_to_string_roundtrip():
 
     for dt in [dtypes.BOOL, dtypes.INT32, dtypes.FP64]:
         assert _string_to_dtype(_dtype_to_string(dt)) is dt
+
+
+def test_unify_dtypes_exact():
+    # reference test_dtype.py:104 — the exact promotion table
+    assert dtypes.unify(dtypes.BOOL, dtypes.BOOL) == dtypes.BOOL
+    assert dtypes.unify(dtypes.BOOL, dtypes.INT16) == dtypes.INT16
+    assert dtypes.unify(dtypes.INT16, dtypes.BOOL) == dtypes.INT16
+    assert dtypes.unify(dtypes.INT16, dtypes.INT8) == dtypes.INT16
+    assert dtypes.unify(dtypes.UINT32, dtypes.UINT8) == dtypes.UINT32
+    assert dtypes.unify(dtypes.UINT32, dtypes.FP32) == dtypes.FP64
+    assert dtypes.unify(dtypes.INT32, dtypes.FP32) == dtypes.FP64
+    assert dtypes.unify(dtypes.FP64, dtypes.UINT8) == dtypes.FP64
+    assert dtypes.unify(dtypes.FP64, dtypes.FP32) == dtypes.FP64
+    assert dtypes.unify(dtypes.INT16, dtypes.UINT16) == dtypes.INT32
+    assert dtypes.unify(dtypes.UINT64, dtypes.INT8) == dtypes.FP64
+
+
+def test_unify_matches_numpy():
+    # reference test_dtype.py:153 — pairwise promotion == numpy's
+    import itertools
+
+    all_dtypes = [dtypes.BOOL, dtypes.INT8, dtypes.UINT8, dtypes.INT16,
+                  dtypes.UINT16, dtypes.INT32, dtypes.UINT32, dtypes.INT64,
+                  dtypes.UINT64, dtypes.FP32, dtypes.FP64]
+    for t1, t2 in itertools.product(all_dtypes, all_dtypes):
+        gb_type = dtypes.unify(t1, t2)
+        np_type = type(t1.np_type.type(0) + t2.np_type.type(0))
+        assert gb_type == dtypes.lookup_dtype(np_type), (t1, t2, gb_type)
+
+
+def test_auto_register_subarray():
+    # reference test_dtype.py:200
+    np_type = np.dtype("(17,)int16")
+    assert dtypes.lookup_dtype(np_type).np_type == np_type
+
+
+def test_record_dtype_from_dict():
+    # reference test_dtype.py:219
+    dtype = dtypes.lookup_dtype({"x": int, "y": float})
+    assert dtype.np_type.names == ("x", "y")
+
+
+def test_dtype_bad_comparison():
+    with pytest.raises(TypeError):
+        dtypes.BOOL == object()  # noqa: B015
+
+
+def test_pickle_all_builtins():
+    # reference test_dtype.py:139
+    import pickle
+
+    for name in ["BOOL", "INT8", "UINT8", "INT16", "UINT16", "INT32",
+                 "UINT32", "INT64", "UINT64", "FP32", "FP64"]:
+        val = getattr(dtypes, name)
+        assert pickle.loads(pickle.dumps(val)) == val
+
+
+def test_lookup_by_many_keys():
+    # reference test_dtype.py:77-103
+    assert dtypes.lookup_dtype("INT64") == dtypes.INT64
+    assert dtypes.lookup_dtype(int) == dtypes.INT64
+    assert dtypes.lookup_dtype(np.int64) == dtypes.INT64
+    assert dtypes.lookup_dtype(np.dtype("int64")) == dtypes.INT64
+    assert dtypes.lookup_dtype(bool) == dtypes.BOOL
+    assert dtypes.lookup_dtype(float) == dtypes.FP64
+    assert dtypes.lookup_dtype("fp32") == dtypes.FP32

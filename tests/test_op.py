@@ -189,3 +189,132 @@ def test_op_namespace_combined():
     assert op.plus is binary.plus
     assert op.abs is unary.abs
     assert op.min_plus is semiring.min_plus
+
+
+def test_unaryop_parameterized_full():
+    # reference test_op.py:233
+    def plus_x(x=0):
+        def inner(val):
+            return val + x
+
+        return inner
+
+    op = gb.core.operator.unary.UnaryOp.register_anonymous(
+        plus_x, parameterized=True)
+    v = gb.Vector.from_coo([0, 1, 3], [1, 2, -4], dtype=dtypes.INT32)
+    v0 = v.apply(op).new()
+    assert v.isequal(v0, check_dtype=True)
+    v0 = v.apply(op(0)).new()
+    assert v.isequal(v0, check_dtype=True)
+    v10 = v.apply(op(x=10)).new()
+    r10 = gb.Vector.from_coo([0, 1, 3], [11, 12, 6], dtype=dtypes.INT32)
+    assert r10.isequal(v10, check_dtype=True)
+
+
+def test_binaryop_parameterized_full():
+    # reference test_op.py:259
+    def plus_plus_x(x=0):
+        def inner(left, right):
+            return left + right + x
+
+        return inner
+
+    op = binary.register_anonymous(plus_plus_x, parameterized=True)
+    v = gb.Vector.from_coo([0, 1, 3], [1, 2, -4], dtype=dtypes.INT32)
+    v0 = v.ewise_mult(v, op).new()
+    r0 = gb.Vector.from_coo([0, 1, 3], [2, 4, -8], dtype=dtypes.INT32)
+    assert v0.isequal(r0, check_dtype=True)
+    v1 = v.ewise_add(v, op(1)).new()
+    r1 = gb.Vector.from_coo([0, 1, 3], [3, 5, -7], dtype=dtypes.INT32)
+    assert v1.isequal(r1, check_dtype=True)
+    # accum with a parameterized op
+    v(op) << v
+    assert v.isequal(r0)
+    v11 = v.apply(op(1), left=10).new()
+    # v is now r0: 10 + r0 + 1
+    r11 = gb.Vector.from_coo([0, 1, 3], [13, 15, 3])
+    assert v11.isequal(r11, check_dtype=False)
+
+
+def test_monoid_and_semiring_parameterized():
+    # reference test_op.py:321/417 (abbreviated to the core behavior)
+    def plus_plus_x(x=0):
+        def inner(left, right):
+            return left + right + x
+
+        return inner
+
+    def identity_x(x=0):
+        return -x
+
+    bin_op = binary.register_anonymous(plus_plus_x, parameterized=True)
+    mono = gb.core.operator.monoid.Monoid.register_anonymous(
+        bin_op, identity_x, name="plus_plus_x_monoid")
+    v = gb.Vector.from_coo([0, 1, 3], [1, 2, -4], dtype=dtypes.INT64)
+    assert v.reduce(mono(0)).new().value == -1
+    assert v.reduce(mono(1)).new().value == 1  # 1+2+1 + (-4) + 1
+    ring = gb.core.operator.semiring.Semiring.register_anonymous(
+        mono, binary.times, name="plus_plus_x_times")
+    A = gb.Matrix.from_coo([0, 0], [0, 1], [2, 3], nrows=2, ncols=2)
+    u = gb.Vector.from_coo([0, 1], [5, 7])
+    got = A.mxv(u, ring(0)).new()
+    assert got[0].new().value == 2 * 5 + 3 * 7
+
+
+def test_get_semiring_caches():
+    # reference test_op.py:969
+    from graphblas_tpu.core.operator.utils import get_semiring
+
+    ring1 = get_semiring(gb.monoid.plus, binary.times)
+    ring2 = get_semiring(gb.monoid.plus, binary.times)
+    assert ring1 is ring2
+    assert ring1.monoid is gb.monoid.plus or ring1.monoid.name == "plus"
+
+
+def test_commutes_tables():
+    # reference test_op.py:1026/1362 — commutation self-consistency
+    for name in ["plus", "times", "min", "max", "lor", "land", "eq", "ne"]:
+        op = getattr(binary, name)
+        assert op.commutes_to is op or op.commutes_to.name == name
+    assert binary.lt.commutes_to.name == "gt"
+    assert binary.gt.commutes_to.name == "lt"
+    assert binary.le.commutes_to.name == "ge"
+    assert binary.first.commutes_to.name == "second"
+    assert binary.minus.commutes_to.name == "rminus"
+    assert binary.cdiv.commutes_to.name == "rdiv"
+
+
+def test_positional_ops():
+    # reference test_op.py:1193
+    A = gb.Matrix.from_coo([0, 1, 2], [2, 0, 1], [9, 9, 9], nrows=3, ncols=3)
+    r = A.apply(gb.indexunary.rowindex).new()
+    rr, cc, vv = r.to_coo()
+    np.testing.assert_array_equal(vv, rr.astype(np.int64))
+    c = A.apply(gb.indexunary.colindex).new()
+    rr, cc, vv = c.to_coo()
+    np.testing.assert_array_equal(vv, cc.astype(np.int64))
+    # positional semiring multiply
+    u = gb.Vector.from_coo([0, 1, 2], [1, 1, 1])
+    got = A.mxv(u, gb.semiring.ss.min_secondi).new()
+    rr2, vv2 = got.to_coo()
+    exp = [2, 0, 1]  # the k index of each row's single edge
+    np.testing.assert_array_equal(vv2, exp)
+
+
+def test_is_idempotent():
+    # reference test_op.py:1437
+    assert gb.monoid.min.is_idempotent
+    assert gb.monoid.max.is_idempotent
+    assert gb.monoid.lor.is_idempotent
+    assert gb.monoid.band.is_idempotent
+    assert not gb.monoid.plus.is_idempotent
+    assert not gb.monoid.times.is_idempotent
+
+
+def test_dir_namespaces():
+    # reference test_op.py:1340 — dir() exposes lazy-loaded names
+    assert "plus" in dir(binary)
+    assert "min_plus" in dir(gb.semiring)
+    assert "sqrt" in dir(gb.unary)
+    assert "numpy" in dir(binary)
+    assert "exp" in dir(gb.unary.numpy) or "exp" in dir(gb.monoid.numpy)

@@ -128,3 +128,91 @@ def test_lshift_returns_none():
     w = gb.Vector(gb.dtypes.INT64, 5)
     assert (w << v.apply(gb.unary.identity)) is None
     assert w.isequal(v)
+
+
+def test_order_of_updater_params():
+    # reference test_resolving.py:43 — every argument order agrees
+    u = gb.Vector.from_coo([0, 1, 3], [1, 2, 3])
+    mask = gb.Vector.from_coo([0, 3], [True, True])
+    accum = gb.binary.plus
+    result = gb.Vector.from_coo([0, 3], [5, 10])
+    expr = u.ewise_mult(u, gb.binary.times)
+    for build in [
+        lambda v: v(mask.V, accum, replace=True),
+        lambda v: v(accum, mask.V, replace=True),
+        lambda v: v(accum, mask=mask.V, replace=True),
+        lambda v: v(mask.V, accum=accum, replace=True),
+        lambda v: v(replace=True, mask=mask.V, accum=accum),
+        lambda v: v(gb.replace, mask=mask.V, accum=accum),
+    ]:
+        v = gb.Vector.from_coo([0, 1, 2, 3], [4, 3, 2, 1])
+        build(v) << u.ewise_mult(u, gb.binary.times)
+        assert v.isequal(result)
+
+
+def test_replace_requires_mask():
+    # reference test_resolving.py:74
+    u = gb.Vector.from_coo([0, 1, 2], [1, 2, 3])
+    with pytest.raises(TypeError):
+        u(replace=True)
+    with pytest.raises(TypeError):
+        u(gb.replace)
+
+
+def test_replace_repr():
+    assert repr(gb.replace) == "replace"
+    assert str(gb.replace) == "replace"
+
+
+def test_updater_repeat_argument_types():
+    # reference test_resolving.py:91
+    mask = gb.Vector.from_coo([0, 3], [True, True])
+    accum = gb.binary.plus
+    v = gb.Vector.from_coo([0, 1, 2, 3], [4, 3, 2, 1])
+    with pytest.raises(TypeError):
+        v(mask.S, mask.S)
+    with pytest.raises(TypeError):
+        v(mask.S, mask=mask.S)
+    with pytest.raises(TypeError):
+        v(accum, accum)
+    with pytest.raises(TypeError):
+        v(accum, accum=accum)
+
+
+def test_updater_bad_types():
+    # reference test_resolving.py:105
+    v = gb.Vector.from_coo([0, 1, 2, 3], [4, 3, 2, 1])
+    with pytest.raises(TypeError):
+        v(mask=object())
+    with pytest.raises(TypeError):
+        v(object())
+    with pytest.raises(TypeError):
+        v(gb.unary.one)
+
+
+def test_typed_ops_in_updater():
+    # reference test_resolving.py:120
+    u = gb.Vector.from_coo([0, 1, 3], [1, 2, 3])
+    u(gb.binary.plus["INT64"]) << u.ewise_mult(u, gb.binary.times["INT64"])
+    assert u.isequal(gb.Vector.from_coo([0, 1, 3], [2, 6, 12]))
+
+
+def test_updater_returns_updater():
+    # reference test_resolving.py:128
+    from graphblas_tpu.core.expr import Updater
+
+    u = gb.Vector.from_coo([0, 1, 3], [1, 2, 3])
+    y = u(accum=gb.binary.times)
+    assert isinstance(y, Updater)
+    z = y << u.apply(gb.unary.ainv)
+    assert z is None
+    assert u.isequal(gb.Vector.from_coo([0, 1, 3], [-1, -4, -9]))
+
+
+def test_resolve_ops_using_common_dtype():
+    # reference test_resolving.py:33
+    u = gb.Vector.from_coo([0, 1, 3], [1, 2, 3], dtype=gb.dtypes.INT64)
+    w = gb.Vector.from_coo([0, 1, 3], [1.0, 2.0, 3.0])
+    result = u.ewise_mult(w, gb.binary.plus).new()
+    assert result.dtype == gb.dtypes.FP64
+    assert result.isequal(gb.Vector.from_coo([0, 1, 3], [2.0, 4.0, 6.0]))
