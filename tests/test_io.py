@@ -65,3 +65,74 @@ def test_from_to_numpy():
     np.testing.assert_array_equal(back, arr)
     v = gbio.from_numpy(np.array([1.0, 2.0]))
     assert v.size == 2
+
+
+def test_scipy_formats_roundtrip():
+    # reference test_io.py scipy format coverage
+    import scipy.sparse as ss
+
+    r = [0, 0, 1, 2]
+    c = [1, 2, 0, 2]
+    v = [1.0, 2.0, 3.0, 4.0]
+    A = gb.Matrix.from_coo(r, c, v, nrows=3, ncols=3)
+    for fmt in ["csr", "csc", "coo"]:
+        S = gb.io.to_scipy_sparse(A, format=fmt)
+        assert S.format == fmt
+        A2 = gb.io.from_scipy_sparse(S)
+        assert A2.isequal(A)
+
+
+def test_mmwrite_field_and_comment(tmp_path):
+    import pathlib
+
+    A = gb.Matrix.from_coo([0, 1], [1, 0], [1.5, 2.5], nrows=2, ncols=2)
+    path = tmp_path / "x.mtx"
+    gb.io.mmwrite(path, A, comment="hello")
+    text = pathlib.Path(path).read_text()
+    assert text.startswith("%%MatrixMarket")
+    assert "hello" in text
+    A2 = gb.io.mmread(path)
+    assert A2.isclose(A)
+
+
+def test_networkx_weighted_digraph():
+    import networkx as nx
+
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([(0, 1, 2.0), (1, 2, 3.0), (2, 0, 4.0)])
+    A = gb.io.from_networkx(G, nodelist=[0, 1, 2])
+    assert A[0, 1].new().value == 2.0
+    G2 = gb.io.to_networkx(A)
+    assert G2[0][1]["weight"] == 2.0
+    assert G2[2][0]["weight"] == 4.0
+
+
+def test_pydata_sparse_roundtrip():
+    sparse = pytest.importorskip("sparse")
+    r = np.array([0, 1])
+    c = np.array([1, 0])
+    v = np.array([5.0, 6.0])
+    s = sparse.COO((r, c), v, shape=(2, 2))
+    A = gb.io.from_pydata_sparse(s)
+    assert A[0, 1].new().value == 5.0
+    s2 = gb.io.to_pydata_sparse(A)
+    assert (s2.todense() == s.todense()).all()
+
+
+def test_awkward_roundtrip():
+    ak = pytest.importorskip("awkward")
+    A = gb.Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], nrows=2, ncols=2)
+    a = gb.io.to_awkward(A)
+    A2 = gb.io.from_awkward(a)
+    assert A2.isequal(A)
+
+
+def test_vector_io_roundtrips():
+    import scipy.sparse as ss
+
+    v = gb.Vector.from_coo([1, 3], [1.5, 2.5], size=5)
+    d = v.to_dense(fill_value=0.0)
+    v2 = gb.Vector.from_dense(d)
+    # from_dense makes every slot present; the values at v's slots agree
+    assert v2[1].new().value == 1.5
+    assert v2[3].new().value == 2.5
