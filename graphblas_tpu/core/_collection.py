@@ -163,6 +163,26 @@ class Collection(BaseType):
             tflag, src = True, self._matrix
         out_cls = type(src) if not isinstance(self, TransposedMatrix) else type(src)
         shape = self.shape
+        if isinstance(op, str):
+            # strings resolve across op kinds like the reference
+            # (tests/test_matrix.py:1203: apply("rowindex"), apply("==", s))
+            from .operator.utils import (
+                indexunary_from_string,
+                select_from_string,
+                unary_from_string,
+            )
+
+            for resolver in (unary_from_string, indexunary_from_string,
+                             select_from_string):
+                try:
+                    op = resolver(op)
+                    break
+                except ValueError:
+                    continue
+            else:
+                raise ValueError(
+                    f"Unknown op string for apply: {op!r}.  "
+                    "Example usage: 'abs[int]' or 'rowindex'")
         findop, opclass = find_opclass(op)
         if opclass in ("IndexUnaryOp", "SelectOp"):
             thunk = False if right is None else right

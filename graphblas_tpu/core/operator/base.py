@@ -83,6 +83,15 @@ def _deserialize_typed(parent, typename):
     return parent[typename]
 
 
+def _op_from_namespace(modname, name):
+    import importlib
+
+    obj = importlib.import_module(f"graphblas_tpu.{modname}")
+    for part in name.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
 class OpBase:
     __slots__ = (
         "name",
@@ -158,7 +167,9 @@ class OpBase:
     def __reduce__(self):
         if self._anonymous:
             raise TypeError(f"Anonymous op {self.name} is not picklable by name")
-        return f"{self.name}".replace(".", "_DOT_")  # resolved via module registry
+        # ops pickle by (namespace, name) like the reference
+        # (core/operator/base.py:265-272)
+        return (_op_from_namespace, (self._modname, self.name))
 
     def _add(self, typed_op):
         self._typed_ops[typed_op.type] = typed_op

@@ -17,18 +17,51 @@ from ..utils import normalize_chunks
 
 
 class MatrixConfig(dict):
-    """Per-matrix config mapping (reference core/ss/matrix.py:124-180)."""
+    """Per-matrix config mapping (reference core/ss/matrix.py:124-180).
+
+    ``sparsity_control`` is LIVE: setting it to "sparse"/"hypersparse"
+    converts the backing to the padded-CSR store, "bitmap"/"full"
+    densifies (dense_limit-guarded), and "auto" defers to the
+    ``auto_sparse_limit`` policy.  ``sparsity_status`` reports the actual
+    backing.  This is the per-object tier of the reference's 3-tier config
+    system (SURVEY §5)."""
 
     _defaults = {
         "format": "bitmapr",
         "sparsity_control": "auto",
-        "sparsity_status": "bitmap",
         "hyper_switch": 0.0625,
         "bitmap_switch": 0.04,
     }
+    _SPARSITY = {"auto", "sparse", "hypersparse", "bitmap", "full"}
 
-    def __init__(self):
+    def __init__(self, parent):
         super().__init__(self._defaults)
+        self._parent = parent
+
+    def __getitem__(self, key):
+        if key == "sparsity_status":
+            return ("sparse" if self._parent._sparse is not None
+                    else "bitmap")
+        if key == "format":
+            return "csr" if self._parent._sparse is not None else "bitmapr"
+        return super().__getitem__(key)
+
+    def __setitem__(self, key, value):
+        if key == "sparsity_status":
+            raise InvalidValue("sparsity_status is read-only")
+        if key == "sparsity_control":
+            if value not in self._SPARSITY:
+                raise InvalidValue(
+                    f"Invalid sparsity_control: {value!r}; must be one of "
+                    f"{sorted(self._SPARSITY)}")
+            p = self._parent
+            if value in ("sparse", "hypersparse") and p._sparse is None:
+                from .. import execute
+
+                execute._sparsify(p)
+            elif value in ("bitmap", "full") and p._sparse is not None:
+                p._densify()
+        super().__setitem__(key, value)
 
 
 class MatrixSS:
@@ -36,7 +69,7 @@ class MatrixSS:
 
     def __init__(self, parent):
         self._parent = parent
-        self.config = MatrixConfig()
+        self.config = MatrixConfig(parent)
 
     # ------------------------------------------------------------------ #
     @property

@@ -337,3 +337,25 @@ def test_random_choice_helper():
     assert len(ch) == 4 and len(set(ch.tolist())) == 4
     assert ch.dtype == np.uint64
     assert (random_choice(3, 5) == np.arange(3)).all()
+
+
+def test_sparsity_control_live():
+    """Per-object config tier is live (SURVEY §5; reference
+    core/ss/matrix.py:124-180 sparsity_control)."""
+    A = gb.Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], nrows=3, ncols=3)
+    assert A.ss.config["sparsity_status"] == "bitmap"
+    A.ss.config["sparsity_control"] = "sparse"
+    assert A._sparse is not None
+    assert A.ss.config["sparsity_status"] == "sparse"
+    assert A.ss.config["format"] == "csr"
+    assert A[0, 1].new().value == 1.0
+    A.ss.config["sparsity_control"] = "bitmap"
+    assert A._sparse is None
+    assert A.ss.config["sparsity_status"] == "bitmap"
+    assert A[1, 0].new().value == 2.0
+    from graphblas_tpu.exceptions import InvalidValue
+
+    with pytest.raises(InvalidValue):
+        A.ss.config["sparsity_control"] = "bogus"
+    with pytest.raises(InvalidValue):
+        A.ss.config["sparsity_status"] = "sparse"
