@@ -541,3 +541,9 @@ class Collection(BaseType):
             else:
                 axis_arrays.append(jnp.asarray(ix.index))
         execute.delete_region(self, tuple(axis_arrays), mask=mask)
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+
+Collection = _x64_methods(Collection)

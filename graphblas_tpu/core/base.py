@@ -501,3 +501,9 @@ class BaseExpression:
         if attr.startswith("_") or attr in ("method_name", "op", "args", "dtype"):
             raise AttributeError(attr)
         return self._get_value(attr=attr)
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+BaseType = _x64_methods(BaseType)
+BaseExpression = _x64_methods(BaseExpression)

@@ -329,6 +329,11 @@ _PLAN_BUILDERS = {}
 def get_plan(sp, dest_is_row, *, at=False):
     """Cached plan for a SparseStore.  `at` applies the lazy transpose by
     swapping coordinate roles (so dest 'row' on A.T = dest 'col' on A)."""
+    with jax.enable_x64(True):
+        return _get_plan(sp, dest_is_row, at=at)
+
+
+def _get_plan(sp, dest_is_row, *, at=False):
     if at:
         dest_is_row = not dest_is_row
     plans = getattr(sp, "_sortpipe_plans", None)

@@ -36,36 +36,41 @@ def _leaf_np_dtypes(dtype):
 def zeros_values(shape, dtype):
     """Allocate zero-filled values pytree for the given logical shape."""
     leaves = list(_leaf_np_dtypes(dtype))
-    if len(leaves) == 1 and leaves[0][0] is None:
-        _, nt, sub = leaves[0]
-        return jnp.zeros(tuple(shape) + tuple(sub), nt)
-    return {
-        name: jnp.zeros(tuple(shape) + tuple(sub), nt) for name, nt, sub in leaves
-    }
+    with jax.enable_x64(True):
+        if len(leaves) == 1 and leaves[0][0] is None:
+            _, nt, sub = leaves[0]
+            return jnp.zeros(tuple(shape) + tuple(sub), nt)
+        return {
+            name: jnp.zeros(tuple(shape) + tuple(sub), nt)
+            for name, nt, sub in leaves
+        }
 
 
 def full_values(shape, dtype, fill):
     leaves = list(_leaf_np_dtypes(dtype))
-    if len(leaves) == 1 and leaves[0][0] is None:
-        _, nt, sub = leaves[0]
-        return jnp.full(tuple(shape) + tuple(sub), fill, nt)
-    if isinstance(fill, dict):
+    with jax.enable_x64(True):
+        if len(leaves) == 1 and leaves[0][0] is None:
+            _, nt, sub = leaves[0]
+            return jnp.full(tuple(shape) + tuple(sub), fill, nt)
+        if isinstance(fill, dict):
+            return {
+                name: jnp.full(tuple(shape) + tuple(sub), fill[name], nt)
+                for name, nt, sub in leaves
+            }
         return {
-            name: jnp.full(tuple(shape) + tuple(sub), fill[name], nt)
+            name: jnp.full(tuple(shape) + tuple(sub), fill, nt)
             for name, nt, sub in leaves
         }
-    return {
-        name: jnp.full(tuple(shape) + tuple(sub), fill, nt) for name, nt, sub in leaves
-    }
 
 
 def np_values_to_device(array, dtype):
     """Convert a host numpy array (possibly structured) to the device pytree."""
     nt = dtype.np_type
-    if nt.names:
-        # note: np.ascontiguousarray promotes 0-d to 1-d; use copy() instead
-        return {name: jnp.asarray(array[name].copy()) for name in nt.names}
-    return jnp.asarray(array)
+    with jax.enable_x64(True):
+        if nt.names:
+            # np.ascontiguousarray promotes 0-d to 1-d; use copy() instead
+            return {name: jnp.asarray(array[name].copy()) for name in nt.names}
+        return jnp.asarray(array)
 
 
 def device_values_to_np(values, dtype, shape):
@@ -136,4 +141,5 @@ def identity_value_array(mono, dtype):
     ident = mono.identity
     if ident is None:
         return None
-    return jnp.asarray(np.array(ident, dtype.np_type))
+    with jax.enable_x64(True):
+        return jnp.asarray(np.array(ident, dtype.np_type))

@@ -40,7 +40,8 @@ def _run(key, fn, *dyn):
     if jf is None:
         jf = jax.jit(fn)
         _JIT_CACHE[key] = jf
-    out = jf(*dyn)
+    with jax.enable_x64(True):
+        out = jf(*dyn)
     from . import _blocking as blocking_flag
 
     if blocking_flag:
@@ -133,8 +134,9 @@ def _sparsify(mat):
     """Convert a dense-backed matrix to sparse (host roundtrip; used to align
     the non-diag operand of a diag mxm)."""
     vals, ok = mat._host_arrays()
-    mat._set_sparse_store(spx.from_dense(vals, ok, mat.shape[0], mat.shape[1],
-                                         mat.dtype))
+    with jax.enable_x64(True):
+        mat._set_sparse_store(spx.from_dense(vals, ok, mat.shape[0],
+                                             mat.shape[1], mat.dtype))
 
 
 def _inline_sparse_impl(expr):

@@ -383,3 +383,11 @@ class InfixExprBase:
         if attr.startswith("_") or attr in ("method_name", "left", "right"):
             raise AttributeError(attr)
         return self._get_value(attr=attr)
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+Updater = _x64_methods(Updater)
+Assigner = _x64_methods(Assigner)
+AmbiguousAssignOrExtract = _x64_methods(AmbiguousAssignOrExtract)
+InfixExprBase = _x64_methods(InfixExprBase)

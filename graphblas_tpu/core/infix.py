@@ -504,3 +504,10 @@ for _icls in (VectorEwiseAddExpr, VectorEwiseMultExpr, VectorMatMulExpr):
     _output_types[_icls] = Vector
 for _icls in (MatrixEwiseAddExpr, MatrixEwiseMultExpr, MatrixMatMulExpr):
     _output_types[_icls] = Matrix
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+ScalarInfixExpr = _x64_methods(ScalarInfixExpr)
+VectorInfixExpr = _x64_methods(VectorInfixExpr)
+MatrixInfixExpr = _x64_methods(MatrixInfixExpr)

@@ -180,3 +180,12 @@ def _combine(left, right, how):
     vals = st.full_values(arr.shape, BOOL, True)
     out._set_store(vals, arr)
     return StructuralMask(out)
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+Mask = _x64_methods(Mask)
+StructuralMask = _x64_methods(StructuralMask)
+ValueMask = _x64_methods(ValueMask)
+ComplementedStructuralMask = _x64_methods(ComplementedStructuralMask)
+ComplementedValueMask = _x64_methods(ComplementedValueMask)

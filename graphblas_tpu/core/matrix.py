@@ -918,3 +918,9 @@ class TransposedMatrix:
 
 _output_types[Matrix] = Matrix
 _output_types[TransposedMatrix] = TransposedMatrix
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+Matrix = _x64_methods(Matrix)
+TransposedMatrix = _x64_methods(TransposedMatrix)

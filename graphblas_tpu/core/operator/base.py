@@ -202,7 +202,8 @@ class OpBase:
 
         try:
             args = [jax.ShapeDtypeStruct((), t.np_type) for t in input_dtypes]
-            out = jax.eval_shape(func, *args)
+            with jax.enable_x64(True):
+                out = jax.eval_shape(func, *args)
         except Exception as e:  # noqa: BLE001
             raise UdfParseError(
                 f"Unable to trace user-defined function for dtypes "

@@ -411,3 +411,8 @@ def _as_scalar(value, dtype=None, *, is_cscalar=False):
 
 
 _output_types[Scalar] = Scalar
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+Scalar = _x64_methods(Scalar)

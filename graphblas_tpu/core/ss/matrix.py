@@ -626,3 +626,9 @@ class MatrixSS:
             out_vals, out_ok = out_vals.T, out_ok.T
         res = Matrix._from_store(typed.return_type, out_vals, out_ok, name=name)
         return res
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from ..utils import x64_methods as _x64_methods  # noqa: E402
+MatrixConfig = _x64_methods(MatrixConfig)
+MatrixSS = _x64_methods(MatrixSS)

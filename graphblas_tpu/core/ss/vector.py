@@ -322,3 +322,8 @@ def random_choice(n, k):
         return np.arange(n, dtype=np.uint64)
     return np.random.default_rng().choice(n, size=k, replace=False).astype(
         np.uint64)
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from ..utils import x64_methods as _x64_methods  # noqa: E402
+VectorSS = _x64_methods(VectorSS)

@@ -1,5 +1,7 @@
 """Small shared utilities (reference: graphblas/core/utils.py)."""
 
+import types
+
 import numpy as np
 
 from .dtypes import lookup_dtype
@@ -151,3 +153,58 @@ def class_property(cls_attr, instance_getter):
             return instance_getter(obj)
 
     return _CP()
+
+
+# --------------------------------------------------------------------- #
+# scoped 64-bit mode (see core/__init__.py:x64).  The global
+# ``jax_enable_x64`` config is never flipped; instead every library entry
+# point that touches device arrays runs inside jax.enable_x64(True) so
+# INT64/UINT64/FP64/FC64 (the GraphBLAS default dtypes) survive exactly.
+def x64_func(fn):
+    """Wrap a function so its body runs in the 64-bit-preserving scope."""
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.enable_x64(True):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+_X64_SKIP = {
+    "__class__", "__new__", "__init_subclass__", "__subclasshook__",
+    "__getattribute__", "__setattr__", "__delattr__", "__dir__",
+    "__reduce__", "__reduce_ex__", "__sizeof__", "__slots__",
+}
+
+
+def x64_methods(cls):
+    """Class decorator: run every method (incl. properties, class/static
+    methods and dunders) inside the 64-bit-preserving scope.
+
+    This is the library's API boundary for scoped x64: without the global
+    flag, any eager jnp op (or jit call) on an existing 64-bit array would
+    silently truncate it to 32 bits, so the scope must cover every public
+    method that can touch device arrays."""
+    for name, attr in list(vars(cls).items()):
+        if name in _X64_SKIP:
+            continue
+        if isinstance(attr, property):
+            setattr(cls, name, property(
+                x64_func(attr.fget) if attr.fget else None,
+                x64_func(attr.fset) if attr.fset else None,
+                x64_func(attr.fdel) if attr.fdel else None,
+                attr.__doc__,
+            ))
+        elif isinstance(attr, staticmethod):
+            setattr(cls, name, staticmethod(x64_func(attr.__func__)))
+        elif isinstance(attr, classmethod):
+            setattr(cls, name, classmethod(x64_func(attr.__func__)))
+        elif isinstance(attr, types.FunctionType):
+            # plain functions only: a class attribute that happens to be
+            # callable (e.g. ``output_type = Matrix``) must stay identical
+            setattr(cls, name, x64_func(attr))
+    return cls

@@ -476,3 +476,8 @@ class Vector(Collection):
 
 
 _output_types[Vector] = Vector
+
+
+# scoped 64-bit mode over the whole API surface (core/utils.py:x64_methods)
+from .utils import x64_methods as _x64_methods  # noqa: E402
+Vector = _x64_methods(Vector)

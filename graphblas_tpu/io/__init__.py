@@ -255,3 +255,19 @@ def to_pydata_sparse(A, format="coo"):
     rows, cols, vals = A.to_coo()
     coo = sparse.COO(np.stack([rows, cols]).astype(np.int64), vals, shape=A.shape)
     return coo.asformat(format) if format != "coo" else coo
+
+
+# scoped 64-bit mode over module entry points (core/utils.py:x64_func)
+from ..core.utils import x64_func as _x64_func  # noqa: E402
+mmread = _x64_func(mmread)
+mmwrite = _x64_func(mmwrite)
+from_scipy_sparse = _x64_func(from_scipy_sparse)
+to_scipy_sparse = _x64_func(to_scipy_sparse)
+from_networkx = _x64_func(from_networkx)
+to_networkx = _x64_func(to_networkx)
+from_numpy = _x64_func(from_numpy)
+to_numpy = _x64_func(to_numpy)
+from_awkward = _x64_func(from_awkward)
+to_awkward = _x64_func(to_awkward)
+from_pydata_sparse = _x64_func(from_pydata_sparse)
+to_pydata_sparse = _x64_func(to_pydata_sparse)

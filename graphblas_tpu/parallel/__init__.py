@@ -90,3 +90,10 @@ def shard_vector(v, mesh, spec=None):
 
 def replicate(v, mesh):
     return shard_vector(v, mesh, P())
+
+
+# scoped 64-bit mode over module entry points (core/utils.py:x64_func)
+from ..core.utils import x64_func as _x64_func  # noqa: E402
+shard_matrix = _x64_func(shard_matrix)
+shard_vector = _x64_func(shard_vector)
+replicate = _x64_func(replicate)

@@ -327,3 +327,14 @@ def dist_pagerank_step(blocked, r, inv_outdeg, damping, base):
                                jnp.ones_like(contrib, bool), "plus_times",
                                kind="vxm")
     return damping * jnp.where(present, y, 0.0) + base
+
+
+# scoped 64-bit mode over public entry points (core/utils.py:x64_func); the
+# inner kernels run inside these scopes (or inside the funnel's _run scope)
+from ..core.utils import x64_func as _x64_func  # noqa: E402
+
+make_blocked_csr = _x64_func(make_blocked_csr)
+dist_mxv_ring = _x64_func(dist_mxv_ring)
+dist_mxv = _x64_func(dist_mxv)
+dist_bfs_step = _x64_func(dist_bfs_step)
+dist_pagerank_step = _x64_func(dist_pagerank_step)

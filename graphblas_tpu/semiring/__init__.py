@@ -89,8 +89,31 @@ _COMMON = [
 ]
 
 
+def _grammar_names():
+    """The full builtin semiring name grammar (SURVEY Appendix B; reference
+    core/operator/semiring.py:170-205): arithmetic-monoid x ring-mult
+    product, bool-monoid comparison families, and the bitwise square."""
+    arith = ["min", "max", "plus", "times", "any"]
+    mults = ["first", "second", "pair", "oneb", "min", "max", "plus", "minus",
+             "rminus", "times", "div", "rdiv", "iseq", "isne", "isgt", "islt",
+             "isge", "isle", "lor", "land", "lxor"]
+    names = {f"{mo}_{mu}" for mo in arith for mu in mults}
+    bool_monoids = ["lor", "land", "lxor", "lxnor", "eq", "any"]
+    bool_mults = ["eq", "ne", "gt", "lt", "ge", "le", "first", "second",
+                  "pair", "oneb", "lor", "land", "lxor"]
+    names |= {f"{mo}_{mu}" for mo in bool_monoids for mu in bool_mults}
+    bits = ["band", "bor", "bxor", "bxnor"]
+    names |= {f"{mo}_{mu}" for mo in bits for mu in bits}
+    return names
+
+
 def __dir__():
-    return list(globals().keys()) + [k for k in _COMMON if "select" not in k] + ["ss", "numpy"]
+    return sorted(
+        set(globals())
+        | {k for k in _COMMON if "select" not in k}
+        | _grammar_names()
+        | {"ss", "numpy"}
+    )
 
 
 def __getattr__(key):

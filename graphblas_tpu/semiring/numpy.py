@@ -11,8 +11,52 @@ _monoid_names = {
 }
 
 
+def _all_names():
+    """Full name set: monoid x binary product minus invalid dtype combos
+    (reference graphblas/semiring/numpy.py:19-97 removes the same
+    incompatible families by name, so dir() is complete without building
+    any operator)."""
+    import itertools
+
+    from ..binary.numpy import _binary_names as binary_names
+    names = {
+        f"{mo}_{mu}"
+        for mo, mu in itertools.product(_monoid_names, binary_names)
+    }
+    names -= {
+        f"{mo}_{mu}"
+        for mo, mu in itertools.product(
+            {"equal", "hypot", "logaddexp", "logaddexp2"},
+            {"gcd", "lcm", "left_shift", "right_shift"},
+        )
+    }
+    names -= {
+        f"{mo}_{mu}"
+        for mo, mu in itertools.product(
+            {"bitwise_and", "bitwise_or", "bitwise_xor", "equal", "gcd"},
+            {"arctan2", "copysign", "divide", "float_power", "hypot", "ldexp",
+             "logaddexp2", "logaddexp", "nextafter", "true_divide"},
+        )
+    }
+    names -= {
+        f"{mo}_{mu}"
+        for mo, mu in itertools.product(
+            {"hypot", "logaddexp", "logaddexp2"},
+            {"bitwise_and", "bitwise_or", "bitwise_xor"},
+        )
+    }
+    names -= {
+        f"{mo}_{mu}"
+        for mo, mu in itertools.product(
+            {"equal"},
+            {"floor_divide", "fmod", "mod", "power", "remainder", "subtract"},
+        )
+    }
+    return names
+
+
 def __dir__():
-    return sorted(set(globals()))
+    return sorted(set(globals()) | _all_names())
 
 
 def __getattr__(name):

@@ -139,3 +139,9 @@ def concat(tiles, dtype=None, *, name=None, **opts):
 
 def burble():
     return config["burble"]
+
+
+# scoped 64-bit mode over module entry points (core/utils.py:x64_func)
+from ..core.utils import x64_func as _x64_func  # noqa: E402
+diag = _x64_func(diag)
+concat = _x64_func(concat)

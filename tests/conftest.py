@@ -41,6 +41,11 @@ def pytest_addoption(parser):
 
 
 def pytest_configure(config):
+    # tripwire for the scoped-x64 design (core/utils.py:x64_methods): any
+    # library path that touches a 64-bit array outside the x64 scope emits
+    # this truncation warning — fail loudly instead of silently downcasting
+    config.addinivalue_line(
+        "filterwarnings", "error:.*truncated to dtype.*")
     if config.getoption("--force-sparse", default=False) or \
             os.environ.get("GB_FORCE_SPARSE"):
         import graphblas_tpu as gb
