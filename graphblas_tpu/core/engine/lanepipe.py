@@ -1,0 +1,593 @@
+"""Lane-aligned SpMV engine: the round-4 TPU hot path for semiring matvec.
+
+Replaces the sort-pipeline's 6 radix sorts per matvec
+(core/engine/sortpipe.py) with a static-layout formulation built on the two
+primitives this TPU generation executes at memory bandwidth (measured in
+tools/ubench_lanepipe.py):
+
+- in-register lane gather: ``jnp.take_along_axis(t, ix, axis=1)`` over a
+  (128,128) tile (~90 Gelem/s), which combined with two VPU transposes
+  emulates a *sublane* gather ``t[idx[r,l], l]``;
+- permutation-keyed ``lax.sort`` (distinct i32 keys hit XLA's fast path).
+
+The matvec  out[d] = monoid_k mult(A[d,k], u[k])  becomes:
+
+1. **gather+mult (Pallas, G layout)**: edges are placed at static slots with
+   ``lane = k % 128``, grouped into blocks whose contraction indices fall in
+   one 16384-wide aligned window; the per-block u-window (128,128) is DMA'd
+   via a scalar-prefetch index map, and ``u[k]`` is read with the
+   transpose-gather.  Products are computed edgewise with the typed
+   multiply and invalid slots forced to the monoid identity.
+2. **route (one permutation sort)**: products move to the S layout —
+   destination-major runs within a plan-chosen lane per destination.
+3. **reduce (Pallas, S layout)**: a sublane-direction segmented scan per
+   lane folds each destination's run with the monoid (sequential block
+   carry keeps the fold order deterministic).
+4. **extract (permutation sort)**: destination totals (at static
+   last-of-run slots) compact into natural dest order.
+
+Skew handling: destinations with more than ``SPLIT_DEG`` edges are split
+into virtual destinations (bounded lane imbalance on power-law graphs); a
+small second scan+extract level recombines them.  The plan builder
+measures its own padding and reports ineligibility when packing is poor,
+falling back to the sort-pipeline.
+
+This replaces the reference's delegation of SpMV to SuiteSparse's
+saxpy/dot kernels (reference graphblas/core/ss/descriptor.py:74-80,
+``axb_method``); it is an original TPU formulation with no reference
+analog (the reference has no XLA/Pallas code).
+
+Eligibility: 32-bit value dtypes, identity-carrying builtin monoids with a
+supported scan combine, non-positional multiplies (same gate as sortpipe)
+plus plan-packing quality.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dense
+from . import sortpipe as sp
+from . import store as st
+
+_IDX = jnp.int32
+
+BR_G = 256      # gather-kernel sublanes per block (32768 edge slots)
+BR_S = 512      # scan-kernel sublanes per block
+WINDOW_K = 16384  # contraction span per gather block (128 u2 rows x 128)
+SPLIT_DEG = 2048  # max edges per (virtual) destination run
+PACK_LIMIT = 2.5  # max allowed padded-slots/nnz ratio before fallback
+
+# test hook: run the Pallas kernels in interpret mode on CPU
+_INTERPRET = False
+
+
+def _use_pallas():
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------- #
+# plan construction (host numpy, one-time per structure+direction)
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def _run_index(group_ids):
+    """Running index within consecutive equal groups of a sorted id array."""
+    m = len(group_ids)
+    if m == 0:
+        return np.zeros(0, np.int64)
+    starts = np.r_[0, np.flatnonzero(np.diff(group_ids)) + 1]
+    lens = np.diff(np.r_[starts, m])
+    return np.arange(m) - np.repeat(starts, lens)
+
+
+def build_plan(d, k, vals_np, n_out, n_in):
+    """Build the static lanepipe plan for edges (d[i], k[i]) with values.
+
+    Returns a dict of numpy arrays (converted to device arrays by the
+    caller) or None when packing quality is below PACK_LIMIT.
+    """
+    m = len(d)
+    if m == 0 or n_out == 0 or n_in == 0:
+        return None
+    d = d.astype(np.int64)
+    k = k.astype(np.int64)
+
+    # ---- G layout: group by 16384-wide aligned k-window, lane = k % 128.
+    w = k >> 14
+    lane_g = k & 127
+    so = np.lexsort((lane_g, w))
+    grp = (w[so] << 7) | lane_g[so]
+    run_g = _run_index(grp)
+    # per-window per-lane counts -> blocks per window
+    uw, w_inv = np.unique(w[so], return_inverse=True)
+    nw = len(uw)
+    cnt_wl = np.zeros((nw, 128), np.int64)
+    np.add.at(cnt_wl, (w_inv, lane_g[so]), 1)
+    blocks_per_w = -(-cnt_wl.max(axis=1) // BR_G)
+    block_base_w = np.r_[0, np.cumsum(blocks_per_w)]
+    nblocks_g = int(block_base_w[-1])
+    if nblocks_g * BR_G * 128 > PACK_LIMIT * m + 4 * BR_G * 128:
+        return None
+    blk = block_base_w[w_inv] + run_g // BR_G
+    sub = run_g % BR_G
+    r_g = blk * BR_G + sub
+    gslot = r_g * 128 + lane_g[so]
+    R_g = nblocks_g * BR_G
+    L_g = R_g * 128
+
+    wbase = np.zeros(nblocks_g, np.int32)
+    wbase[block_base_w[:-1]] = 1
+    wbase = uw[np.cumsum(wbase) - 1].astype(np.int32)  # u2 row-block index
+
+    locidx_g = np.zeros((R_g, 128), np.int32)
+    okg = np.zeros((R_g, 128), bool)
+    avals_g = np.zeros((R_g, 128), vals_np.dtype)
+    locidx_g.reshape(-1)[gslot] = (k[so] >> 7) & 127
+    okg.reshape(-1)[gslot] = True
+    avals_g.reshape(-1)[gslot] = vals_np[so]
+
+    # ---- S layout: virtual destinations, balanced lanes, dest-major runs.
+    deg = np.bincount(d, minlength=n_out)
+    nsplit = -(-np.maximum(deg, 1) // SPLIT_DEG)      # vdests per dest (>=1)
+    vstart = np.r_[0, np.cumsum(nsplit)]
+    V = int(vstart[-1])
+    two_level = bool((nsplit > 1).any())
+
+    L2 = 0
+    if two_level:
+        # level-2 layout: vdest totals placed column-major so a dest's run
+        # is vertical within one lane (the sublane scan folds it); a run
+        # never crosses a lane boundary.
+        R2 = max(_ceil_to(-(-V // 128) + int(nsplit.max()) + 1, BR_S), BR_S)
+        L2 = R2 * 128
+        cum = np.cumsum(nsplit)
+        start2 = np.zeros(n_out, np.int64)
+        pos = 0  # flat column-major cursor
+        lo = 0   # first unplaced dest
+        for lane in range(128):
+            if lo >= n_out:
+                break
+            pos = max(pos, lane * R2)
+            cap_end = (lane + 1) * R2
+            prev = cum[lo - 1] if lo else 0
+            fit = lo + int(np.searchsorted(cum[lo:] - prev, cap_end - pos,
+                                           side="right"))
+            if fit > lo:
+                start2[lo:fit] = pos + np.concatenate(
+                    [[0], np.cumsum(nsplit[lo:fit])[:-1]])
+                pos += int(cum[fit - 1] - prev)
+                lo = fit
+        if lo < n_out:
+            raise AssertionError("level-2 placement overflow")
+        # column-major offset -> row-major flat position in (R2, 128)
+        vid_off = np.repeat(start2, nsplit) + _run_index(
+            np.repeat(np.arange(n_out), nsplit))
+        pos2 = (vid_off % R2) * 128 + (vid_off // R2)
+
+    # edge -> vdest: within dest, edges numbered 0.. in d-stable order
+    od = np.argsort(d, kind="stable")
+    run_d = _run_index(d[od])
+    vid_edge = np.empty(m, np.int64)
+    vid_edge[od] = vstart[d[od]] + run_d // SPLIT_DEG
+
+    # vdest weights (leading barrier slot + its edges)
+    vdeg = np.bincount(vid_edge, minlength=V)
+    wt = vdeg + 1
+    # balance lanes: serpentine assignment of weight-sorted vdests
+    ov = np.argsort(wt, kind="stable")[::-1]
+    lane_of_v = np.empty(V, np.int64)
+    idx = np.arange(V)
+    fwd = (idx // 128) % 2 == 0
+    lane_of_v[ov] = np.where(fwd, idx % 128, 127 - idx % 128)
+    # per-lane order: vdests by vid ascending (keeps dest-major runs)
+    olv = np.lexsort((np.arange(V), lane_of_v))  # by lane, then vid
+    lane_sorted = lane_of_v[olv]
+    # start offset (sublane) of each vdest within its lane
+    csum = np.cumsum(wt[olv]) - wt[olv]
+    lane_first = np.r_[0, np.flatnonzero(np.diff(lane_sorted)) + 1]
+    lane_csum0 = np.zeros(128, np.int64)
+    lane_csum0[lane_sorted[lane_first]] = csum[lane_first]
+    v_sub0 = np.empty(V, np.int64)
+    v_sub0[olv] = csum - lane_csum0[lane_sorted]
+    lane_len = np.bincount(lane_of_v, weights=wt, minlength=128).astype(np.int64)
+    R_s = int(lane_len.max())
+
+    L = _ceil_to(max(L_g, R_s * 128, L2, 1), BR_S * 128)
+    R_scan = L // 128
+    if R_scan * 128 > PACK_LIMIT * (m + V) + BR_S * 128 * 2:
+        return None
+
+    barrier = np.ones((R_scan, 128), bool)  # junk slots isolate themselves
+    oks = np.zeros((R_scan, 128), bool)
+    ext_rank = np.zeros(R_scan * 128, np.int32)
+
+    # vdest slots: barrier slot at (v_sub0, lane); edges after it
+    bar_flat = v_sub0 * 128 + lane_of_v
+    # mark non-barrier inside each run: first clear everything in lanes below
+    # lane_len, then set barriers
+    row_idx = np.arange(R_s)
+    in_use = row_idx[:, None] < lane_len[None, :]
+    barrier[:R_s][in_use] = False
+    barrier.reshape(-1)[bar_flat] = True
+
+    # edge slots: position = vdest start + 1 + running index within vdest
+    ovv = np.lexsort((np.arange(m), vid_edge))
+    run_v = _run_index(vid_edge[ovv])
+    s_sub = np.empty(m, np.int64)
+    s_sub[ovv] = v_sub0[vid_edge[ovv]] + 1 + run_v
+    sslot = s_sub * 128 + lane_of_v[vid_edge]
+    oks.reshape(-1)[sslot] = True
+    assert barrier[0].all() or R_s == 0  # lane scan relies on this
+
+    # extraction: last slot of each vdest gets a rank that PLACES the vdest
+    # total for the next stage; everything else gets junk ranks above it.
+    last_flat = (v_sub0 + wt - 1) * 128 + lane_of_v
+    junk = np.ones(R_scan * 128, bool)
+    junk[last_flat] = False
+    if two_level:
+        # ranks must be a full permutation of [0, L): totals land at their
+        # level-2 placement, junk fills the unassigned positions first
+        ext_rank[last_flat] = pos2.astype(np.int32)
+        unassigned = np.setdiff1d(np.arange(L2, dtype=np.int64), pos2)
+        njunk = int(junk.sum())
+        fill = np.concatenate(
+            [unassigned, L2 + np.arange(njunk - len(unassigned))])
+        ext_rank[junk] = fill.astype(np.int32)
+    else:
+        ext_rank[last_flat] = np.arange(V, dtype=np.int32)
+        ext_rank[junk] = V + np.arange(int(junk.sum()), dtype=np.int32)
+
+    # route: gslot(edge) -> sslot(edge); free G slots -> free S slots
+    route = np.empty(L, np.int32)
+    edge_g = np.empty(m, np.int64)
+    edge_g[so] = gslot  # gslot was computed in `so` order
+    route[edge_g] = sslot
+    gused = np.zeros(L, bool)
+    gused[edge_g] = True
+    sused = np.zeros(L, bool)
+    sused[sslot] = True
+    route[~gused] = np.flatnonzero(~sused)
+
+    plan = {
+        "R_g": R_g, "L": L, "R_scan": R_scan, "V": V, "n_out": n_out,
+        "n_in": n_in, "nblocks_g": nblocks_g, "two_level": two_level,
+        "wbase": wbase,
+        "locidx_g": locidx_g,
+        "okg": okg,
+        "avals_g": avals_g,
+        "barrier": barrier,
+        "oks": oks,
+        "ext_rank": ext_rank,
+        "route": route,
+    }
+    if two_level:
+        # level 2: sublane scan over the column-major vdest-total placement
+        bar2 = np.ones(L2, bool)
+        run_idx2 = _run_index(np.repeat(np.arange(n_out), nsplit))
+        bar2[pos2] = run_idx2 == 0
+        ok2 = np.zeros(L2, bool)
+        ok2[pos2] = True
+        last_off = start2 + nsplit - 1
+        last2 = (last_off % R2) * 128 + (last_off // R2)
+        ext2 = np.empty(L2, np.int32)
+        junk2 = np.ones(L2, bool)
+        junk2[last2] = False
+        ext2[last2] = np.arange(n_out, dtype=np.int32)
+        ext2[junk2] = n_out + np.arange(int(junk2.sum()), dtype=np.int32)
+        assert bar2.reshape(R2, 128)[0].all()
+        plan.update({"L2": L2, "R2": R2, "bar2": bar2.reshape(R2, 128),
+                     "ok2": ok2, "ext2": ext2})
+    return plan
+
+
+# --------------------------------------------------------------------- #
+# kernels
+def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
+                nblocks):
+    """Pallas gather+mult: (prods (R_g,128) z-carrier, okp (R_g,128) i32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wbase, locidx, okg, avals = plan_g
+    z_dt = mono.type
+    z_c = sp.carrier_dtype(z_dt.np_type)
+    # host literal, not a device array: pallas kernels cannot capture
+    # array constants
+    ident_c = np.array(mono.identity, z_dt.np_type).astype(np.dtype(z_c))
+
+    def compute(a, g, ok):
+        # typed multiply on gathered operands (sortpipe.spmv_pipeline rules)
+        x_in = g.astype(u_dt.np_type) if g.dtype != u_dt.np_type else g
+        a_in = a.astype(a_dt.np_type) if a.dtype != np.dtype(a_dt.np_type) else a
+        if kind == "mxv":
+            prods = dense.apply_binop(mult, a_in, a_dt, x_in, u_dt,
+                                      context_map=dense._MATMUL_MAP)
+        else:
+            prods = dense.apply_binop(mult, x_in, u_dt, a_in, a_dt,
+                                      context_map=dense._MATMUL_MAP)
+        prods = st.cast_values(prods, mult.return_type, z_dt).astype(z_c)
+        return jnp.where(ok, prods, ident_c)
+
+    def kernel(wb_ref, uwin_ref, uokwin_ref, loc_ref, okg_ref, av_ref,
+               prods_ref, okp_ref):
+        ut = uwin_ref[:].T
+        uot = uokwin_ref[:].T
+        for s in range(BR_G // 128):
+            sl = slice(s * 128, (s + 1) * 128)
+            ixT = loc_ref[sl, :].T
+            g = jnp.take_along_axis(ut, ixT, axis=1).T
+            go = jnp.take_along_axis(uot, ixT, axis=1).T
+            ok = (okg_ref[sl, :] != 0) & (go != 0)
+            prods_ref[sl, :] = compute(av_ref[sl, :], g, ok)
+            okp_ref[sl, :] = ok.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((128, 128), lambda i, wb: (wb[i], 0)),
+            pl.BlockSpec((128, 128), lambda i, wb: (wb[i], 0)),
+            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
+            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
+            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
+            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((R_g, 128), z_c),
+                   jax.ShapeDtypeStruct((R_g, 128), jnp.int32)),
+        interpret=_INTERPRET,
+    )(wbase, u2, u2ok, locidx, okg, avals)
+
+
+def lane_segscan(barrier, vals, ok, combine):
+    """Sublane-direction segmented scan per lane with sequential carry.
+
+    barrier/vals/ok: (R,128); segments restart where barrier is set.
+    Returns (scanned_vals, scanned_ok) with ok combined by max."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = barrier.shape[0]
+
+    def kernel(b_ref, v_ref, h_ref, ov_ref, oh_ref, vcar, hcar):
+        i = pl.program_id(0)
+        bb = b_ref[:] != 0
+        v = v_ref[:]
+        h = h_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (BR_S, 128), 0)
+        vc = jnp.where(i > 0, vcar[0, :], v[0, :])
+        hc = jnp.where(i > 0, hcar[0, :], h[0, :])
+        first = row == 0
+        v = jnp.where(first & ~bb & (i > 0),
+                      combine(jnp.broadcast_to(vc.reshape(1, 128),
+                                               (BR_S, 128)), v), v)
+        h = jnp.where(first & ~bb & (i > 0),
+                      jnp.maximum(jnp.broadcast_to(hc.reshape(1, 128),
+                                                   (BR_S, 128)), h), h)
+        for s in [1 << j for j in range(BR_S.bit_length() - 1)]:
+            s32 = jnp.int32(s)
+            bsh = pltpu.roll(bb.astype(jnp.int32), s32, 0) != 0
+            okm = row >= s
+            v = jnp.where(bb | ~okm, v, combine(pltpu.roll(v, s32, 0), v))
+            h = jnp.where(bb | ~okm, h,
+                          jnp.maximum(pltpu.roll(h, s32, 0), h))
+            bb = bb | (okm & bsh)
+        ov_ref[:] = v
+        oh_ref[:] = h
+        vcar[0, :] = v[BR_S - 1, :]
+        hcar[0, :] = h[BR_S - 1, :]
+
+    spec = lambda: pl.BlockSpec((BR_S, 128), lambda i: (i, 0))  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(R // BR_S,),
+        in_specs=[spec(), spec(), spec()],
+        out_specs=(spec(), spec()),
+        out_shape=(jax.ShapeDtypeStruct((R, 128), vals.dtype),
+                   jax.ShapeDtypeStruct((R, 128), ok.dtype)),
+        scratch_shapes=[pltpu.VMEM((1, 128), vals.dtype),
+                        pltpu.VMEM((1, 128), ok.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            # the per-lane running carry makes grid steps order-dependent
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(barrier, vals, ok)
+
+
+def _segscan_xla(barrier, vals, ok, combine):
+    """CPU/interpret-free fallback: same semantics via associative_scan
+    down the sublane axis (per lane)."""
+    b = barrier != 0
+
+    def comb(left, right):
+        bl, vl, hl = left
+        br, vr, hr = right
+        v = jnp.where(br, vr, combine(vl, vr))
+        h = jnp.where(br, hr, jnp.maximum(hl, hr))
+        return (bl | br, v, h)
+
+    _, v, h = jax.lax.associative_scan(comb, (b, vals, ok), axis=0)
+    return v, h
+
+
+# --------------------------------------------------------------------- #
+# eligibility and plan cache
+def eligible(ring, a_dt, u_dt):
+    return sp.eligible_spmv(ring, a_dt, u_dt)
+
+
+def get_plan(spstore, dest_is_row, *, at=False):
+    """Cached lanepipe plan on a SparseStore (device arrays)."""
+    with jax.enable_x64(True):
+        return _get_plan(spstore, dest_is_row, at=at)
+
+
+def _get_plan(spstore, dest_is_row, *, at=False):
+    if at:
+        dest_is_row = not dest_is_row
+    plans = getattr(spstore, "_lanepipe_plans", None)
+    if plans is None:
+        plans = {}
+        spstore._lanepipe_plans = plans
+    key = (dest_is_row,)
+    if key in plans:
+        return plans[key]
+    vals = spstore.vals
+    if isinstance(vals, dict) or np.dtype(vals.dtype).itemsize > 4:
+        plans[key] = None
+        return None
+    hc = getattr(spstore, "_host_cache", None)
+    if hc is not None:
+        # build-time host copies: avoids device->host reads, which
+        # permanently degrade the tunneled-TPU runtime (see sparse.py)
+        rowids, cols, ok, vals_h = hc
+    else:
+        rowids = np.asarray(spstore.rowids)
+        cols = np.asarray(spstore.cols)
+        ok = np.asarray(spstore.ok)
+        vals_h = np.asarray(vals)
+    d = (rowids if dest_is_row else cols)[ok]
+    k = (cols if dest_is_row else rowids)[ok]
+    n_out = spstore.nrows if dest_is_row else spstore.ncols
+    n_in = spstore.ncols if dest_is_row else spstore.nrows
+    cdt = sp.carrier_dtype(vals_h.dtype)
+    plan = build_plan(d, k, vals_h[ok].astype(cdt), n_out, n_in)
+    if plan is None:
+        plans[key] = None
+        return None
+    dev = {}
+    for name in ("wbase", "locidx_g", "okg", "avals_g", "barrier", "oks",
+                 "ext_rank", "route", "bar2", "ok2", "ext2"):
+        if name in plan:
+            arr = plan[name]
+            if arr.dtype == bool:
+                arr = arr.astype(np.int32)
+            dev[name] = jnp.asarray(arr)
+    entry = {k2: v for k2, v in plan.items() if not isinstance(v, np.ndarray)}
+    entry["dev"] = dev
+    plans[key] = entry
+    return entry
+
+
+def plan_dyn_tuple(entry):
+    d = entry["dev"]
+    base = (d["wbase"], d["locidx_g"], d["okg"], d["avals_g"], d["barrier"],
+            d["oks"], d["ext_rank"], d["route"])
+    if entry["two_level"]:
+        return base + (d["bar2"], d["ok2"], d["ext2"])
+    return base
+
+
+# --------------------------------------------------------------------- #
+# the traced pipeline
+def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
+                  kind):
+    """(out_vals[n_out] in monoid dtype, out_valid[n_out])."""
+    (wbase, locidx, okg, avals, barrier, oks, ext_rank, route) = plan_dyn[:8]
+    R_g = meta["R_g"]
+    L = meta["L"]
+    R_scan = meta["R_scan"]
+    V = meta["V"]
+    n_out = meta["n_out"]
+    n_in = meta["n_in"]
+    nblocks = meta["nblocks_g"]
+    mult = ring.binaryop
+    mono = ring.monoid
+    z_dt = mono.type
+    z_c = sp.carrier_dtype(z_dt.np_type)
+    ident_c = np.array(mono.identity, z_dt.np_type).astype(np.dtype(z_c))
+
+    # dense u -> padded (Ru,128) carrier tables
+    u_c = sp.carrier_dtype(u_dt.np_type)
+    Ru = _ceil_to(max(n_in, 1), WINDOW_K) // 128
+    pad = Ru * 128 - n_in
+    u2 = jnp.concatenate([u_vals.astype(u_c),
+                          jnp.zeros(pad, u_c)]).reshape(Ru, 128)
+    u2ok = jnp.concatenate([u_valid.astype(jnp.int32),
+                            jnp.zeros(pad, jnp.int32)]).reshape(Ru, 128)
+
+    if _use_pallas():
+        with jax.enable_x64(False):
+            prods, okp = gather_mult(
+                (wbase, locidx, okg, avals), u2, u2ok, mult, a_dt, u_dt,
+                mono, kind=kind, R_g=R_g, nblocks=nblocks)
+    else:
+        # XLA fallback (CPU correctness): flat gather of u at k per slot
+        loc = locidx.reshape(-1)
+        wb_rows = jnp.repeat(wbase.astype(jnp.int64), BR_G * 128)
+        lanes = jnp.tile(jnp.arange(128), R_g)
+        kk = (wb_rows * 128 + loc.reshape(-1).astype(jnp.int64)) * 128 + lanes
+        kk = jnp.minimum(kk, Ru * 128 - 1)
+        g = jnp.take(u2.reshape(-1), kk).reshape(R_g, 128)
+        go = jnp.take(u2ok.reshape(-1), kk).reshape(R_g, 128)
+        ok = (okg != 0) & (go != 0)
+        x_in = g.astype(u_dt.np_type)
+        a_in = avals.astype(a_dt.np_type)
+        if kind == "mxv":
+            p = dense.apply_binop(mult, a_in, a_dt, x_in, u_dt,
+                                  context_map=dense._MATMUL_MAP)
+        else:
+            p = dense.apply_binop(mult, x_in, u_dt, a_in, a_dt,
+                                  context_map=dense._MATMUL_MAP)
+        p = st.cast_values(p, mult.return_type, z_dt).astype(z_c)
+        prods = jnp.where(ok, p, ident_c)
+        okp = ok.astype(jnp.int32)
+
+    # route to S layout
+    pf = prods.reshape(-1)
+    hf = okp.reshape(-1)
+    if L > R_g * 128:
+        padn = L - R_g * 128
+        pf = jnp.concatenate([pf, jnp.full(padn, ident_c, z_c)])
+        hf = jnp.concatenate([hf, jnp.zeros(padn, jnp.int32)])
+    _, pv, ph = jax.lax.sort((route, pf, hf), num_keys=1)
+    pv2 = pv.reshape(R_scan, 128)
+    ph2 = (ph.reshape(R_scan, 128) != 0) & (oks != 0)
+    pv2 = jnp.where(ph2, pv2, ident_c)
+    ph2 = ph2.astype(jnp.int32)
+
+    comb = sp.monoid_scan_fn(mono.parent.name, z_c)
+
+    def combine(a, b):
+        r = comb(a, b)
+        return r.astype(z_c) if r.dtype != a.dtype else r
+
+    if _use_pallas():
+        with jax.enable_x64(False):
+            s_v, s_h = lane_segscan(barrier, pv2, ph2, combine)
+    else:
+        s_v, s_h = _segscan_xla(barrier, pv2, ph2, combine)
+
+    _, e_v, e_h = jax.lax.sort(
+        (ext_rank, s_v.reshape(-1), s_h.reshape(-1)), num_keys=1)
+
+    if meta["two_level"]:
+        bar2, ok2, ext2 = plan_dyn[8:11]
+        L2 = meta["L2"]
+        R2 = meta["R2"]
+        # ext ranks placed totals directly at their level-2 positions
+        tv2 = e_v[:L2].reshape(R2, 128)
+        th2 = ((e_h[:L2].reshape(R2, 128) != 0)
+               & (ok2.reshape(R2, 128) != 0))
+        tv2 = jnp.where(th2, tv2, ident_c)
+        th2 = th2.astype(jnp.int32)
+        if _use_pallas():
+            with jax.enable_x64(False):
+                s2v, s2h = lane_segscan(bar2, tv2, th2, combine)
+        else:
+            s2v, s2h = _segscan_xla(bar2, tv2, th2, combine)
+        _, e_v, e_h = jax.lax.sort(
+            (ext2, s2v.reshape(-1), s2h.reshape(-1)), num_keys=1)
+
+    out = e_v[:n_out].astype(z_dt.np_type)
+    return out, e_h[:n_out] > 0

@@ -479,7 +479,7 @@ def eligible_spmv(ring, a_dt, u_dt):
         return False
     if monoid_scan_fn(mono.parent.name, carrier_dtype(mono.type.np_type)) is None:
         return False
-    if st.identity_value_array(mono, mono.type) is None:
+    if mono.identity is None:  # host check: no device work on dispatch
         return False
     return True
 
@@ -491,7 +491,7 @@ def eligible_reduce(mono, in_dt):
         return False
     if monoid_scan_fn(mono.parent.name, carrier_dtype(mono.type.np_type)) is None:
         return False
-    if st.identity_value_array(mono, mono.type) is None:
+    if mono.identity is None:  # host check: no device work on dispatch
         return False
     return True
 

@@ -55,7 +55,8 @@ class SparseStore:
     """Host-side handle for a padded-CSR device store."""
 
     __slots__ = ("rowids", "cols", "vals", "ok", "csc_perm", "nrows", "ncols",
-                 "cap", "is_diag", "token", "_sortpipe_plans", "_nvals_cache")
+                 "cap", "is_diag", "token", "_sortpipe_plans", "_lanepipe_plans",
+                 "_nvals_cache", "_host_cache")
 
     def __init__(self, rowids, cols, vals, ok, csc_perm, nrows, ncols, *,
                  is_diag=False, token=None):
@@ -70,6 +71,8 @@ class SparseStore:
         self.is_diag = bool(is_diag)
         self.token = next(_structure_counter) if token is None else token
         self._sortpipe_plans = None
+        self._lanepipe_plans = None
+        self._host_cache = None
         self._nvals_cache = None
 
     # dyn tuple crossing into jit: arrays only, fixed arity 5
@@ -152,6 +155,11 @@ def build_sparse_store(rows, cols, values, nrows, ncols, dtype, *, cap=None,
     out = SparseStore(jnp.asarray(r), jnp.asarray(c), vals, jnp.asarray(ok),
                       jnp.asarray(csc_perm), nrows, ncols, is_diag=is_diag)
     out._nvals_cache = int(n)  # known at build: no later device sync needed
+    # host copies let plan builders (engine/lanepipe.py) avoid device->host
+    # reads: the first D2H permanently degrades the tunneled-TPU runtime to
+    # ~9 ms/launch (measured tools/ubench_lanepipe.py findings, round 4)
+    if not dtype.np_type.names and dtype.np_type.subdtype is None:
+        out._host_cache = (r, c, ok, buf)
     return out
 
 

@@ -137,7 +137,15 @@ def tree_pad(vals, pads):
 
 
 def identity_value_array(mono, dtype):
-    """Monoid identity as a () jnp array of the given DataType (None for any-monoid)."""
+    """Monoid identity as a () jnp array of the given DataType (None for
+    any-monoid).
+
+    Never called on the dispatch hot path outside a trace (the eligibility
+    gates use the host-side ``mono.identity is None`` check instead): an
+    uncached host->device scalar transfer between kernels stalls the
+    tunneled-TPU device stream by ~33 ms.  Do NOT memoize the result —
+    inside a trace this returns a trace-scoped value, and caching it leaks
+    tracers across jits."""
     ident = mono.identity
     if ident is None:
         return None

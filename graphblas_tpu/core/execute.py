@@ -183,6 +183,22 @@ def _inline_sparse_impl(expr):
                                      dist.axis, id(dist.mesh))
         if (sp.nrows > 0 and sp.ncols > 0
                 and sortpipe.eligible_spmv(expr.op, mat_dt, u_dt)):
+            from .engine import lanepipe
+
+            if lanepipe._use_pallas():
+                lentry = lanepipe.get_plan(sp, m == "mxv", at=bool(tflag))
+                if lentry is not None:
+
+                    def impl(e, dyn, extra, lentry=lentry):
+                        u_vals, u_valid = dyn[vec_i]
+                        return lanepipe.spmv_pipeline(
+                            extra, lentry, u_vals, u_valid, e.op, mat_dt,
+                            u_dt, kind=m)
+
+                    return (impl, lanepipe.plan_dyn_tuple(lentry),
+                            ("lanepipe", lentry["L"], lentry["R_g"],
+                             lentry["V"], lentry["n_in"], lentry["n_out"],
+                             lentry["two_level"]))
             entry = sortpipe.get_plan(sp, m == "mxv", at=bool(tflag))
             if entry["vals_m"] is not None:
                 n_in, n_out, L = entry["n_in"], entry["n_out"], entry["L"]
