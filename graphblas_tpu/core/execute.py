@@ -28,6 +28,10 @@ from .recorder import record
 
 _JIT_CACHE = {}
 
+# set by gb.ss.iterate while tracing a device-resident loop: operands are
+# tracers, so blocking (or any host sync) must be skipped
+_loop_tracing = False
+
 
 def _blocking():
     from . import _blocking as flag
@@ -44,7 +48,7 @@ def _run(key, fn, *dyn):
         out = jf(*dyn)
     from . import _blocking as blocking_flag
 
-    if blocking_flag:
+    if blocking_flag and not _loop_tracing:
         jax.block_until_ready(out)
     return out
 
@@ -615,7 +619,7 @@ def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None,
     out_cls = expr.output_type
     plan = _format_plan(expr)
     if plan == "sparse" and mask is None:
-        record(_record_line(None, expr, None, None, False))
+        record(lambda: _record_line(None, expr, None, None, False))
         sp = _sparse_out_run(expr, out_dtype, opts=opts)
         return out_cls._from_sparse(out_dtype, sp, name=name)
     out = out_cls._empty(out_dtype, expr.shape, name=name)
@@ -629,7 +633,7 @@ def update_into(target, expr, *, mask=None, accum=None, replace=False,
                 opts=None):
     plan = _format_plan(expr)
     if plan == "sparse":
-        record(_record_line(target, expr, mask, accum, replace))
+        record(lambda: _record_line(target, expr, mask, accum, replace))
         if mask is None and accum is None:
             target._set_sparse_store(
                 _sparse_out_run(expr, target.dtype, opts=opts))
@@ -713,7 +717,7 @@ def update_into(target, expr, *, mask=None, accum=None, replace=False,
         return dense.write_back(c_store[0], c_store[1], c_dt, z_vals, z_valid,
                                 z_dt, mask_arr, typed_accum, replace)
 
-    record(_record_line(target, expr, mask, accum, replace))
+    record(lambda: _record_line(target, expr, mask, accum, replace))
     vals, valid = _run(key, fn, (target._vals, target._valid), _mask_dyn(mask),
                        expr._dyn(), extra_dyn)
     target._set_store(vals, valid)
@@ -729,7 +733,7 @@ def compute_store(expr, out_dtype):
         z_vals, z_valid = impl(expr, dyn)
         return st.cast_values(z_vals, z_dt, out_dtype), z_valid
 
-    record(_record_line(None, expr, None, None, False))
+    record(lambda: _record_line(None, expr, None, None, False))
     return _run(key, fn, expr._dyn())
 
 

@@ -34,29 +34,38 @@ def format_scalar(s):
     )
 
 
+def _window(n, maxn):
+    """Index window with two-sided truncation (pandas-style: head entries,
+    an ellipsis, tail entries — the reference's truncated-grid layout,
+    test_formatting.py large-matrix goldens).  None marks the ellipsis."""
+    if n <= maxn:
+        return list(range(n))
+    half = maxn // 2
+    return list(range(half)) + [None] + list(range(n - half, n))
+
+
 def _grid(host_vals, host_ok, dtype, nrows, ncols, is_vector=False):
-    show_r = min(nrows, _MAX_ROWS)
-    show_c = min(ncols, _MAX_COLS)
-    trunc_r = nrows > show_r
-    trunc_c = ncols > show_c
+    rows_w = [0] if is_vector else _window(nrows, _MAX_ROWS)
+    cols_w = _window(ncols, _MAX_COLS)
     cells = []
-    header = [""] + [str(j) for j in range(show_c)] + (["..."] if trunc_c else [])
-    cells.append(header)
-    for i in range(show_r):
+    cells.append([""] + ["..." if j is None else str(j) for j in cols_w])
+    for i in rows_w:
+        if i is None:
+            cells.append(["..."] * len(cells[0]))
+            continue
         row = [str(i)]
-        for j in range(show_c):
+        for j in cols_w:
+            if j is None:
+                row.append("...")
+                continue
             if is_vector:
-                ok = host_ok[j] if i == 0 else False
+                ok = host_ok[j]
                 v = host_vals[j] if ok else None
             else:
                 ok = host_ok[i, j]
                 v = host_vals[i, j] if ok else None
             row.append(_fmt_val(v, dtype) if ok else "")
-        if trunc_c:
-            row.append("...")
         cells.append(row)
-    if trunc_r:
-        cells.append(["..."] * len(cells[0]))
     widths = [max(len(r[k]) for r in cells) for k in range(len(cells[0]))]
     lines = []
     for r in cells:
@@ -228,28 +237,30 @@ def format_mask(mask):
 
 
 def _html_grid(host_vals, host_ok, dtype, nrows, ncols, is_vector=False):
-    show_r = min(nrows, _MAX_ROWS)
-    show_c = min(ncols, _MAX_COLS)
+    rows_w = [0] if is_vector else _window(nrows, _MAX_ROWS)
+    cols_w = _window(ncols, _MAX_COLS)
     rows_html = []
-    head = "".join(f"<th>{j}</th>" for j in range(show_c))
-    if ncols > show_c:
-        head += "<th>...</th>"
+    head = "".join("<th>...</th>" if j is None else f"<th>{j}</th>"
+                   for j in cols_w)
     rows_html.append(f"<tr><th></th>{head}</tr>")
-    for i in range(show_r):
+    for i in rows_w:
+        if i is None:
+            rows_html.append(
+                "<tr><th>...</th>" + "<td>...</td>" * len(cols_w) + "</tr>")
+            continue
         cells = []
-        for j in range(show_c):
+        for j in cols_w:
+            if j is None:
+                cells.append("<td>...</td>")
+                continue
             if is_vector:
-                ok = host_ok[j] if i == 0 else False
+                ok = host_ok[j]
                 val = host_vals[j] if ok else None
             else:
                 ok = host_ok[i, j]
                 val = host_vals[i, j] if ok else None
             cells.append(f"<td>{_fmt_val(val, dtype) if ok else ''}</td>")
-        if ncols > show_c:
-            cells.append("<td>...</td>")
         rows_html.append(f"<tr><th>{i}</th>{''.join(cells)}</tr>")
-    if nrows > show_r:
-        rows_html.append("<tr><th>...</th></tr>")
     return "<table>" + "".join(rows_html) + "</table>"
 
 

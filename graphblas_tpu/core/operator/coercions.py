@@ -52,6 +52,21 @@ def install():
     # int/bool inputs by promotion to FP32/FP64
     small = [_dt.BOOL, _dt.INT8, _dt.INT16, _dt.UINT8, _dt.UINT16]
     large = [_dt.INT32, _dt.INT64, _dt.UINT32, _dt.UINT64]
+
+    # --- unary float-family ops (reference unary.py:_initialize "sane
+    # coercion" list): small ints/bool promote to FP32, large ints to FP64
+    from ... import unary
+
+    for name in ("erf", "erfc", "lgamma", "tgamma", "acos", "acosh", "asin",
+                 "asinh", "atan", "atanh", "ceil", "cos", "cosh", "exp",
+                 "exp2", "expm1", "floor", "log", "log10", "log1p", "log2",
+                 "round", "signum", "sin", "sinh", "sqrt", "tan", "tanh",
+                 "trunc", "cbrt"):
+        op = getattr(unary, name, None)
+        if op is None or _dt.FP32 not in op._typed_ops:
+            continue
+        _alias(op, small, _dt.FP32)
+        _alias(op, large, _dt.FP64)
     for name in ("atan2", "copysign", "fmod", "hypot", "remainder"):
         op = getattr(binary, name, None)
         if op is None:

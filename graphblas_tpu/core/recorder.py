@@ -15,7 +15,14 @@ _recorder_stack = contextvars.ContextVar("recorder_stack", default=None)
 def record(line):
     rec = _recorder_stack.get()
     if rec is not None:
+        if callable(line):  # lazy: hot paths defer string building
+            line = line()
         rec.data.append(line)
+
+
+def recording():
+    """True when a Recorder is active (lets hot paths skip work)."""
+    return _recorder_stack.get() is not None
 
 
 def gbstr(obj):

@@ -160,16 +160,29 @@ def class_property(cls_attr, instance_getter):
 # ``jax_enable_x64`` config is never flipped; instead every library entry
 # point that touches device arrays runs inside jax.enable_x64(True) so
 # INT64/UINT64/FP64/FC64 (the GraphBLAS default dtypes) survive exactly.
+_x64_depth = __import__("threading").local()
+
+
 def x64_func(fn):
-    """Wrap a function so its body runs in the 64-bit-preserving scope."""
+    """Wrap a function so its body runs in the 64-bit-preserving scope.
+
+    Nested wrapped calls skip re-entering the (not-free) config context:
+    a public dispatch crosses ~20 wrapped methods, and the context
+    enter/exit pairs were measurable on the dispatch hot path."""
     import functools
 
     import jax
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        with jax.enable_x64(True):
+        if getattr(_x64_depth, "d", 0):
             return fn(*args, **kwargs)
+        _x64_depth.d = 1
+        try:
+            with jax.enable_x64(True):
+                return fn(*args, **kwargs)
+        finally:
+            _x64_depth.d = 0
 
     return wrapper
 

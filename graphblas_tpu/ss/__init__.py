@@ -137,6 +137,126 @@ def concat(tiles, dtype=None, *, name=None, **opts):
     return Matrix._from_store(dt, vals, ok, name=name)
 
 
+_ITERATE_CACHE = {}
+
+
+def iterate(body, state, *, cond=None, max_iter=64):
+    """Run an algorithm loop entirely on device as ONE compiled program.
+
+    TPU-native extension (no reference analog; precedent for ss-only
+    surface: Context, reference core/ss/context.py:19).  The eager API
+    dispatches one fused kernel per GraphBLAS call, which is the right
+    shape for interactive use — but an iterative algorithm like level-BFS
+    (reference notebooks/Example B.1, SURVEY \u00a73.6) pays a host
+    round-trip per iteration for its termination check.  ``iterate``
+    traces ``body`` once and runs it under ``jax.lax.while_loop``, so the
+    whole loop — every masked vxm, assign and reduce — executes as a
+    single device program with zero host synchronization until it
+    finishes.
+
+    Parameters
+    ----------
+    body : callable(state, i)
+        Mutates the ``state`` collections in place through normal
+        GraphBLAS calls.  ``i`` is a 1-based iteration counter Scalar
+        (INT64) usable as an operand (e.g. ``v(mask=q.V)[:] = i``).
+        Must not inspect host values (``.nvals``, ``bool(...)``) — shapes
+        and dispatch configuration must be iteration-independent.
+    state : dict[str, Vector]
+        Dense-backed vectors carried through the loop.  Updated in place
+        with the final values when the loop ends.
+    cond : callable(state, i) -> Scalar, optional
+        Evaluated after each body run; the loop continues while its value
+        is truthy (do-while semantics).  None runs exactly ``max_iter``
+        iterations.
+    max_iter : int
+        Static iteration bound (the loop always stops here).
+
+    Returns
+    -------
+    int-like
+        The number of iterations executed, as a 0-d device value (reading
+        it synchronizes with the device).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import execute as _execute
+    from ..core.dtypes import INT64
+    from ..core.scalar import Scalar
+    from ..core.vector import Vector
+
+    names = list(state)
+    for name in names:
+        v = state[name]
+        if not isinstance(v, Vector):
+            raise TypeError(f"state[{name!r}] must be a Vector; got {type(v)}")
+        if v._sparse is not None:
+            v._densify()
+
+    def make_state(arrays):
+        out = {}
+        for name, (vals, valid) in zip(names, arrays):
+            out[name] = Vector._from_store(state[name].dtype, vals, valid,
+                                           name=name)
+        return out
+
+    def body_fn(carry):
+        i, arrays, _ = carry
+        i = i + 1
+        st_objs = make_state(arrays)
+        i_scalar = Scalar._from_store(INT64, i, jnp.ones((), bool))
+        body(st_objs, i_scalar)
+        if cond is None:
+            cont = jnp.ones((), bool)
+        else:
+            c = cond(st_objs, i_scalar)
+            cont = jnp.asarray(c._vals).astype(bool) & c._valid
+        new_arrays = tuple((st_objs[n]._vals, st_objs[n]._valid)
+                           for n in names)
+        return (i, new_arrays, cont)
+
+    def cond_fn(carry):
+        i, _, cont = carry
+        return cont & (i < max_iter)
+
+    init = (jnp.zeros((), jnp.int64),
+            tuple((state[n]._vals, state[n]._valid) for n in names),
+            jnp.ones((), bool))
+
+    # compiled-loop cache: repeated calls with the same body/cond/state
+    # spec reuse the executable instead of re-tracing
+    spec = tuple((name, state[name].dtype.name, state[name].shape)
+                 for name in names)
+    ckey = (id(body), id(cond), spec, max_iter)
+    got = _ITERATE_CACHE.get(ckey)
+    prev_blocking = _execute._loop_tracing
+    _execute._loop_tracing = True
+    try:
+        with jax.enable_x64(True):
+            if got is None:
+                def run(init):
+                    return jax.lax.while_loop(cond_fn, body_fn, init)
+
+                # hoist every device array the body closes over (engine
+                # plan arrays etc.) into explicit arguments: an array baked
+                # into the program as a CONSTANT is read back to host at
+                # lowering, which permanently degrades the tunneled-TPU
+                # runtime (round-4 finding), and bloats the executable
+                conv, consts = jax.closure_convert(run, init)
+                jf = jax.jit(lambda init, consts: conv(init, *consts))
+                # hold body/cond refs so the id()-based key stays live
+                got = (jf, consts, body, cond)
+                _ITERATE_CACHE[ckey] = got
+            jf, consts = got[0], got[1]
+            i, arrays, _ = jf(init, consts)
+    finally:
+        _execute._loop_tracing = prev_blocking
+    for name, (vals, valid) in zip(names, arrays):
+        state[name]._set_store(vals, valid)
+    return i
+
+
 def burble():
     return config["burble"]
 
@@ -145,3 +265,4 @@ def burble():
 from ..core.utils import x64_func as _x64_func  # noqa: E402
 diag = _x64_func(diag)
 concat = _x64_func(concat)
+iterate = _x64_func(iterate)

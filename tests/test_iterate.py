@@ -1,0 +1,113 @@
+"""gb.ss.iterate: whole algorithm loops as one device program.
+
+Parity oracle: the same loop run eagerly call-by-call (reference notebook
+loop shape, SURVEY §3.6)."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+
+
+def _graph(rng, n, e):
+    lin = np.unique(rng.integers(0, n * n, e))
+    r, c = lin // n, lin % n
+    # ring edges keep it connected
+    base = np.arange(n)
+    r = np.concatenate([r, base])
+    c = np.concatenate([c, (base + 1) % n])
+    lin = np.unique(r * n + c)
+    return lin // n, lin % n
+
+
+@pytest.mark.parametrize("sparse_backed", [False, True])
+def test_bfs_iterate_matches_eager(rng, sparse_backed):
+    n = 120
+    r, c = _graph(rng, n, 700)
+    kw = {"dtype": "BOOL", "nrows": n, "ncols": n}
+    if sparse_backed:
+        with gb.config.set(auto_sparse_limit=0):
+            A = gb.Matrix.from_coo(r, c, np.ones(len(r), bool), **kw)
+    else:
+        A = gb.Matrix.from_coo(r, c, np.ones(len(r), bool), **kw)
+    ring = gb.semiring.lor_land["BOOL"]
+
+    # eager reference loop
+    q0 = gb.Vector.from_coo([0], [True], size=n)
+    lev0 = gb.Vector(gb.dtypes.INT32, n)
+    d = 0
+    while d < 40:
+        d += 1
+        lev0(mask=q0.V)[:] = d
+        q0(~lev0.S, replace=True) << q0.vxm(A, ring)
+        if q0.nvals == 0:
+            break
+
+    # device loop
+    q = gb.Vector.from_coo([0], [True], size=n)
+    lev = gb.Vector(gb.dtypes.INT32, n)
+
+    def body(s, i):
+        s["lev"](mask=s["q"].V)[:] = i
+        s["q"](~s["lev"].S, replace=True) << s["q"].vxm(A, ring)
+
+    def cond(s, i):
+        return s["q"].reduce(gb.monoid.lor, allow_empty=False).new()
+
+    iters = gb.ss.iterate(body, {"q": q, "lev": lev}, cond=cond, max_iter=40)
+    assert int(iters) == d
+    gi, gv = lev.to_coo()
+    wi, wv = lev0.to_coo()
+    assert np.array_equal(gi, wi)
+    assert np.array_equal(gv, wv)
+
+
+def test_iterate_fixed_count_pagerank(rng):
+    n = 80
+    r, c = _graph(rng, n, 500)
+    outdeg = np.bincount(r, minlength=n).astype(np.float32)
+    w = (1.0 / outdeg[r]).astype(np.float32)
+    A = gb.Matrix.from_coo(r, c, w, dtype="FP32", nrows=n, ncols=n)
+    ring = gb.semiring.plus_times["FP32"]
+    damp = np.float32(0.85)
+    tele = np.float32(0.15 / n)
+
+    # eager
+    rank0 = gb.Vector.from_dense(np.full(n, 1.0 / n, np.float32))
+    y0 = gb.Vector(gb.dtypes.FP32, n)
+    for _ in range(10):
+        y0 << rank0.vxm(A, ring)
+        y0 << y0.apply(gb.binary.times, right=damp)
+        rank0 << y0.apply(gb.binary.plus, right=tele)
+
+    # fused
+    rank = gb.Vector.from_dense(np.full(n, 1.0 / n, np.float32))
+    y = gb.Vector(gb.dtypes.FP32, n)
+
+    def body(s, i):
+        s["y"] << s["rank"].vxm(A, ring)
+        s["y"] << s["y"].apply(gb.binary.times, right=damp)
+        s["rank"] << s["y"].apply(gb.binary.plus, right=tele)
+
+    iters = gb.ss.iterate(body, {"rank": rank, "y": y}, max_iter=10)
+    assert int(iters) == 10
+    got = rank.to_coo()[1]
+    want = rank0.to_coo()[1]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_iterate_counter_is_one_based():
+    n = 8
+    v = gb.Vector(gb.dtypes.INT64, n)
+
+    def body(s, i):
+        s["v"][:] = i
+
+    iters = gb.ss.iterate(body, {"v": v}, max_iter=3)
+    assert int(iters) == 3
+    assert v.to_coo()[1].tolist() == [3] * n
+
+
+def test_iterate_rejects_non_vector():
+    with pytest.raises(TypeError, match="must be a Vector"):
+        gb.ss.iterate(lambda s, i: None, {"x": 5}, max_iter=1)

@@ -33,10 +33,13 @@ def test_typed_lookup():
     assert t.type is dtypes.INT64
     assert t.return_type is dtypes.INT64
     assert binary.eq[dtypes.FP64].return_type is dtypes.BOOL
-    with pytest.raises(KeyError, match="does not work with"):
-        unary.sqrt[dtypes.INT64]
+    # float-family unaries accept int inputs by "sane coercion"
+    # (reference core/operator/unary.py _initialize: INT64 -> FP64)
+    assert unary.sqrt[dtypes.INT64].return_type is dtypes.FP64
     assert dtypes.INT64 in binary.plus
-    assert dtypes.INT64 not in unary.sqrt
+    assert dtypes.INT64 in unary.sqrt
+    with pytest.raises(KeyError, match="does not work with"):
+        unary.bnot[dtypes.FP64]
 
 
 def test_monoid_identities():
