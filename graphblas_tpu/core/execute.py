@@ -185,6 +185,11 @@ def _inline_sparse_impl(expr):
             return impl, extra_dyn, ("dist", dist.n, dist.rows_per,
                                      tuple(dist.mesh.shape.items()),
                                      dist.axis, id(dist.mesh))
+        if dist is not None:
+            # positional semirings have no distributed kernel yet: fall
+            # back to single-device, but say so (VERDICT r3 weak #7)
+            record(f"{m} fallback: single-device (positional semiring "
+                   f"{expr.op.name})")
         if (sp.nrows > 0 and sp.ncols > 0
                 and sortpipe.eligible_spmv(expr.op, mat_dt, u_dt)):
             from .engine import lanepipe
@@ -226,6 +231,24 @@ def _inline_sparse_impl(expr):
         a_dt, axis, tflag = expr._statics
         sp = expr.args[0]._sparse
         nrows, ncols = sp.nrows, sp.ncols
+        dist = getattr(expr.args[0], "_dist", None)
+        if dist is not None:
+            # distributed monoid reduction over the row-block shards
+            # (parallel/ops.py; SURVEY §2.9 psum-monoid obligation)
+            from ..parallel import ops as pops
+
+            dest_rows = (axis == 1) != bool(tflag)
+            n_out = expr._shape[0]
+
+            def impl(e, dyn, extra):
+                return pops.dist_reduce_axis(dist, extra, e.op, a_dt,
+                                             dest_rows=dest_rows,
+                                             n_out=n_out)
+
+            extra_dyn = (dist.rowids, dist.cols, dist.vals, dist.edge_ok,
+                         dist.csc_perm)
+            return impl, extra_dyn, ("dist_reduce", dist.n, dist.rows_per,
+                                     dest_rows, n_out, id(dist.mesh))
         if (sp.nrows > 0 and sp.ncols > 0
                 and sortpipe.eligible_reduce(expr.op, a_dt)):
             # axis=1 reduces rows (dest=row); axis=0 reduces columns
@@ -246,6 +269,24 @@ def _inline_sparse_impl(expr):
         return impl, None, None
     if m == "reduce_scalar":
         a_dt, allow_empty = expr._statics
+        dist = getattr(expr.args[0], "_dist", None)
+        if dist is not None:
+            from ..parallel import ops as pops
+
+            def impl(e, dyn, extra):
+                v, valid = pops.dist_reduce_scalar(dist, extra, e.op, a_dt)
+                if not allow_empty:
+                    ident = st.identity_value_array(e.op, e.op.type)
+                    if ident is None:
+                        ident = jnp.zeros((), e.op.type.np_type)
+                    v = jnp.where(valid, v, ident)
+                    valid = jnp.ones((), bool)
+                return v, valid
+
+            extra_dyn = (dist.rowids, dist.cols, dist.vals, dist.edge_ok,
+                         dist.csc_perm)
+            return impl, extra_dyn, ("dist_rscalar", dist.n, dist.rows_per,
+                                     id(dist.mesh))
 
         def impl(e, dyn, extra):
             _, _, vals, ok, _ = dyn[0]
@@ -361,6 +402,70 @@ def _spgemm_run(expr, out_dtype, mask=None, opts=None):
     k_dim = a_sp.nrows if at else a_sp.ncols
     ms, m_dyn, m_builder = _coord_mask_parts(mask)
     z_dt = expr.dtype
+
+    # distributed masked SpGEMM: mask-bounded dot per row block against the
+    # replicated B side (parallel/ops.py; SURVEY §2.9 row x col comm)
+    a_dist = getattr(a, "_dist", None)
+    m_dist = (getattr(mask.parent, "_dist", None) if mask is not None
+              else None)
+    if (a_dist is not None and mask is not None and not mask.complement
+            and m_dist is not None and not at
+            and mask.parent._sparse is not None
+            and a_dist.mesh is m_dist.mesh and out_nrows > 0
+            and out_ncols > 0):
+        from ..parallel import ops as pops
+
+        msp = mask.parent._sparse
+        m_dt = mask.parent.dtype
+        # expanded-term capacity per block: sum over the block's mask
+        # entries of min(deg_A(row), deg_B(contraction)) — the same bound
+        # phase 1 of the single-device dot kernel computes on device,
+        # derived here from the build-time host caches
+        hcs = [getattr(s, "_host_cache", None)
+               for s in (a_sp, b_sp, msp)]
+        if any(h is None for h in hcs):
+            cap_e = None
+        else:
+            (ra, ca, oa, _), (rb, cb, ob, _), (rm, cm, om, _) = hcs
+            da = np.bincount(ra[oa], minlength=out_nrows)
+            db = (np.bincount(rb[ob], minlength=out_ncols) if bt
+                  else np.bincount(cb[ob], minlength=out_ncols))
+            rme, cme = rm[om], cm[om]
+            terms = np.minimum(da[np.minimum(rme, out_nrows - 1)],
+                               db[np.minimum(cme, out_ncols - 1)])
+            blk = rme // a_dist.rows_per
+            per_block = np.bincount(blk, weights=terms,
+                                    minlength=a_dist.n_blocks)
+            cap_e = spx._round_capacity(
+                max(int(per_block.max()), m_dist.rowids.shape[1], 1))
+        if cap_e is None:
+            record("mxm fallback: single-device SpGEMM (no host degree "
+                   "caches for the distributed bound)")
+        else:
+            key = ("dist_spgemm", expr._key(), out_dtype, cap_e,
+                   mask.structure, m_dt, id(a_dist.mesh))
+
+            def fn(a_arrays, b_dyn, m_arrays):
+                out = pops.dist_masked_spgemm(
+                    a_dist, a_arrays, b_dyn, m_dist, m_arrays, expr.op,
+                    a_dt, b_dt, m_dt, mask.structure, bt=bt,
+                    n_out_rows=out_nrows, n_out_cols=out_ncols, cap_e=cap_e)
+                if out_dtype != z_dt:
+                    return spx.cast_copy(out, z_dt, out_dtype)
+                return out
+
+            a_arrays = (a_dist.rowids, a_dist.cols, a_dist.vals,
+                        a_dist.edge_ok, a_dist.csc_perm)
+            m_arrays = (m_dist.rowids, m_dist.cols, m_dist.vals,
+                        m_dist.edge_ok, m_dist.csc_perm)
+            out_dyn = _run(key, fn, a_arrays, b_sp._dyn(), m_arrays)
+            return spx.SparseStore(*out_dyn, out_nrows, out_ncols)
+    if a_dist is not None:
+        # a distributed operand fell back to the single-device SpGEMM —
+        # surface it instead of silently computing locally (VERDICT r3
+        # weak #7)
+        record(f"mxm fallback: single-device SpGEMM "
+               f"(mask={'yes' if mask is not None else 'no'}, at={at})")
 
     # mask-bounded dot formulation: for a non-complemented sparse mask the
     # expansion is bounded by sum over M of min(deg_A, deg_B) instead of the

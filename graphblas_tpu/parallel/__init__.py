@@ -92,8 +92,34 @@ def replicate(v, mesh):
     return shard_vector(v, mesh, P())
 
 
+def ewise_blocked(A, B, op, *, variant="mult", name=None):
+    """Aligned-shard elementwise over two identically-structured
+    shard_matrix()-ed matrices: the blocked value arrays combine SPMD over
+    the mesh (no communication), and the result carries both a sparse
+    store and a BlockedCSR sharing the index arrays (parallel/ops.py;
+    VERDICT r3 item #5 "aligned-shard ewise").
+    """
+    from ..core.matrix import Matrix
+    from ..core.operator.utils import get_typed_op
+    from .ops import dist_ewise_same_structure
+
+    if getattr(A, "_dist", None) is None or getattr(B, "_dist", None) is None:
+        raise ValueError("ewise_blocked requires shard_matrix()-ed operands")
+    if A._sparse is None or B._sparse is None or             A._sparse.token != B._sparse.token:
+        raise ValueError("ewise_blocked requires identical structure "
+                         "(same-build matrices); use ewise_add/mult for "
+                         "the general case")
+    typed = get_typed_op(op, A.dtype, B.dtype, kind="binary")
+    expr = A.ewise_mult(B, typed) if variant == "mult" else         A.ewise_add(B, typed)
+    out = expr.new(name=name)
+    out._dist = dist_ewise_same_structure(A._dist, B._dist, typed, A.dtype,
+                                          B.dtype, typed.return_type)
+    return out
+
+
 # scoped 64-bit mode over module entry points (core/utils.py:x64_func)
 from ..core.utils import x64_func as _x64_func  # noqa: E402
 shard_matrix = _x64_func(shard_matrix)
 shard_vector = _x64_func(shard_vector)
 replicate = _x64_func(replicate)
+ewise_blocked = _x64_func(ewise_blocked)

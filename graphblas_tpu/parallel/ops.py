@@ -1,0 +1,185 @@
+"""Distributed reduce / ewise / masked SpGEMM over row-block shards.
+
+Extends the distributed backend beyond mxv/vxm (VERDICT r3 item #5;
+blueprint SURVEY §2.9: psum-monoid reductions, row x col communication for
+SpGEMM).  All kernels are ``shard_map`` bodies over the BlockedCSR row
+partition (spmv.py) and run through the same typed-operator machinery as
+the single-device engine.
+
+- ``dist_reduce_axis``: dest=rows reduces locally per block (output stays
+  row-block sharded); dest=cols computes a full-width partial per block and
+  combines partials across devices with the monoid collective.
+- ``dist_reduce_scalar``: local fold + cross-device monoid combine.
+- ``dist_masked_spgemm``: C(M) << A @ B with a non-complemented sparse
+  mask whose parent is row-block aligned with A.  Each device runs the
+  mask-bounded dot kernel (engine/sparse.py:spgemm_masked_dot) on its row
+  block against the replicated B side (the row x col exchange; on a real
+  multi-host mesh the replication is the B-side all-gather), so the
+  expansion stays bounded by the mask — the formulation that makes
+  triangle counting scale on power-law graphs.
+- ``dist_ewise_same_structure``: elementwise over identically-structured
+  blocked values (pure SPMD on the sharded arrays; no communication).
+
+The reference has no distributed backend (SURVEY §2.9)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .spmv import BlockedCSR, _combine_partials
+
+
+def dist_reduce_axis(blocked, arrays, mono, in_dt, *, dest_rows, n_out):
+    """Row/column monoid reduction of a blocked store.
+
+    arrays: (rowids, cols, vals, edge_ok, csc_perm) — possibly traced.
+    Returns dense (vals[n_out], valid[n_out]) global arrays."""
+    from ..core.engine import sparse as spx
+
+    mesh, axis = blocked.mesh, blocked.axis
+    rows_per, n, n_blocks = blocked.rows_per, blocked.n, blocked.n_blocks
+    rowids, cols, vals, edge_ok, csc_perm = arrays
+    vspec = jax.tree_util.tree_map(lambda _: P(axis, None), vals)
+
+    if dest_rows:
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(axis, None), vspec, P(axis, None)),
+                 out_specs=(P(axis), P(axis)))
+        def kernel(rowids, vals, edge_ok):
+            v = jax.tree_util.tree_map(lambda a: a[0], vals)
+            out_v, out_ok = spx.segment_reduce_sorted(
+                rowids[0].astype(jnp.int32), v, edge_ok[0], mono, rows_per,
+                in_dt)
+            return out_v, out_ok
+
+        out_v, out_ok = kernel(rowids, vals, edge_ok)
+        return (jax.tree_util.tree_map(lambda a: a[:n_out], out_v),
+                out_ok[:n_out])
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis, None), vspec, P(axis, None), P(axis, None)),
+             out_specs=(P(axis), P(axis)))
+    def kernel(cols, vals, edge_ok, csc_perm):
+        perm = csc_perm[0]
+        seg = jnp.take(cols[0], perm).astype(jnp.int32)
+        v = jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0),
+                                   jax.tree_util.tree_map(lambda a: a[0],
+                                                          vals))
+        ok = jnp.take(edge_ok[0], perm)
+        part_v, part_ok = spx.segment_reduce_sorted(seg, v, ok, mono, n,
+                                                    in_dt)
+        red_v, red_ok = _combine_partials(part_v, part_ok, mono, axis,
+                                          n_blocks)
+        b = jax.lax.axis_index(axis)
+        sl = b * rows_per
+        out_v = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, sl, rows_per), red_v)
+        return out_v, jax.lax.dynamic_slice_in_dim(red_ok, sl, rows_per)
+
+    out_v, out_ok = kernel(cols, vals, edge_ok, csc_perm)
+    return (jax.tree_util.tree_map(lambda a: a[:n_out], out_v),
+            out_ok[:n_out])
+
+
+def dist_reduce_scalar(blocked, arrays, mono, in_dt):
+    """Monoid fold of all stored values: local fold + psum-style combine."""
+    from ..core.engine import store as st
+
+    mesh, axis = blocked.mesh, blocked.axis
+    n_blocks = blocked.n_blocks
+    rowids, cols, vals, edge_ok, csc_perm = arrays
+    vspec = jax.tree_util.tree_map(lambda _: P(axis, None), vals)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(vspec, P(axis, None)),
+             out_specs=(P(axis), P(axis)))
+    def kernel(vals, edge_ok):
+        from ..core.engine import dense
+
+        v = jax.tree_util.tree_map(lambda a: a[0], vals)
+        ok = edge_ok[0]
+        lv, lok = dense.reduce_monoid(v, ok, mono, in_dt, 0)
+        part_v = jax.tree_util.tree_map(lambda a: a[None], lv)
+        part_ok = lok[None]
+        red_v, red_ok = _combine_partials(part_v, part_ok, mono, axis,
+                                          n_blocks)
+        return (jax.tree_util.tree_map(lambda a: a[None, 0], red_v),
+                red_ok[None, 0])
+
+    out_v, out_ok = kernel(vals, edge_ok)
+    return jax.tree_util.tree_map(lambda a: a[0], out_v), out_ok[0]
+
+
+def dist_masked_spgemm(a_blocked, a_arrays, b_dyn, m_blocked, m_arrays,
+                       ring, a_dt, b_dt, m_dt, structure, *, bt, n_out_rows,
+                       n_out_cols, cap_e):
+    """C(M) << A @ op(B): mask-bounded dot per row block vs replicated B.
+
+    a_arrays / m_arrays: blocked (rowids, cols, vals, edge_ok, csc_perm);
+    b_dyn: B's full (replicated) store dyn.  Returns a flat global store
+    dyn (rowids, cols, vals, ok, csc_perm) with cap n_blocks * cap_e."""
+    from ..core.engine import sparse as spx
+
+    mesh, axis = a_blocked.mesh, a_blocked.axis
+    rows_per, n = a_blocked.rows_per, a_blocked.n
+    a_rowids, a_cols, a_vals, a_ok, a_csc = a_arrays
+    m_rowids, m_cols, m_vals, m_ok, m_csc = m_arrays
+    avspec = jax.tree_util.tree_map(lambda _: P(axis, None), a_vals)
+    mvspec = jax.tree_util.tree_map(lambda _: P(axis, None), m_vals)
+    bspec = jax.tree_util.tree_map(lambda _: P(), b_dyn)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=((P(axis, None), P(axis, None), avspec, P(axis, None),
+                        P(axis, None)),
+                       bspec,
+                       (P(axis, None), P(axis, None), mvspec, P(axis, None),
+                        P(axis, None))),
+             out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                        P(axis, None)))
+    def kernel(a5, b5, m5):
+        take0 = partial(jax.tree_util.tree_map, lambda x: x[0])
+        ar, ac, av, aok, acsc = take0(a5)
+        mr, mc, mv, mok, mcsc = take0(m5)
+        a_dyn = (ar, ac, av, aok, acsc)
+        m_dyn = (mr, mc, mv, mok, mcsc)
+        out = spx.spgemm_masked_dot(
+            a_dyn, b_dyn, m_dyn, False, bt, ring, a_dt, b_dt, m_dt,
+            structure, rows_per, n_out_cols, max(n, 1), cap_e)
+        orow, ocol, ov, ook, _ = out
+        b_idx = jax.lax.axis_index(axis)
+        # globalize row ids; sentinel rows (== rows_per) -> global sentinel
+        grow = jnp.where(orow >= rows_per, n_out_rows,
+                         orow + b_idx * rows_per).astype(jnp.int32)
+        ocol = jnp.where(ook, ocol, n_out_cols).astype(jnp.int32)
+        return (grow[None], ocol[None], jax.tree_util.tree_map(
+            lambda x: x[None], ov), ook[None])
+
+    g_rows, g_cols, g_vals, g_ok = kernel(
+        (a_rowids, a_cols, a_vals, a_ok, a_csc), b_dyn,
+        (m_rowids, m_cols, m_vals, m_ok, m_csc))
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+    r = flat(g_rows)
+    c = flat(g_cols)
+    v = jax.tree_util.tree_map(flat, g_vals)
+    ok = flat(g_ok)
+    csc = spx.csc_perm_of(r, c, n_out_rows, n_out_cols)
+    return (r, c, v, ok, csc)
+
+
+def dist_ewise_same_structure(a_blocked, b_blocked, op, a_dt, b_dt, z_dt):
+    """Elementwise over two identically-structured blocked stores: pure
+    SPMD over the sharded value arrays; returns a BlockedCSR sharing the
+    index arrays with new values."""
+    from ..core.engine import dense, store as st
+
+    with jax.enable_x64(True):
+        vals = dense.apply_binop(op, a_blocked.vals, a_dt, b_blocked.vals,
+                                 b_dt)
+        vals = st.cast_values(vals, op.return_type, z_dt)
+    return BlockedCSR(a_blocked.rowids, a_blocked.cols, vals,
+                      a_blocked.edge_ok, a_blocked.csc_perm, a_blocked.n,
+                      a_blocked.rows_per, a_blocked.nnz, a_blocked.mesh,
+                      a_blocked.axis, z_dt)
