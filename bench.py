@@ -80,10 +80,43 @@ def build_graph(n, avg_deg, seed=0):
     return (lin // n).astype(np.int64), (lin % n).astype(np.int64)
 
 
+def build_rmat(scale, efactor=16, seed=1):
+    """Graph500-style RMAT digraph (a,b,c,d = .57,.19,.19,.05): the standard
+    benchmark generator, standing in for SNAP/GAP downloads (no network
+    egress in this environment).  Power-law with heavy community structure
+    on BOTH endpoints, unlike build_graph's zipf-on-destination."""
+    n = 1 << scale
+    m = n * efactor
+    rng = np.random.default_rng(seed)
+    r = np.zeros(m, np.int64)
+    c = np.zeros(m, np.int64)
+    for bit in range(scale):
+        u = rng.random(m)
+        rbit = u >= 0.76            # quadrants c+d
+        cbit = ((u >= 0.57) & (u < 0.76)) | (u >= 0.95)
+        r |= rbit.astype(np.int64) << bit
+        c |= cbit.astype(np.int64) << bit
+    keep = r != c
+    r, c = r[keep], c[keep]
+    base = np.arange(n, dtype=np.int64)  # ring: every node in/out degree
+    r = np.concatenate([r, base])
+    c = np.concatenate([c, (base + 1) % n])
+    lin = np.unique(r * n + c)
+    return (lin // n), (lin % n), n
+
+
 def bench_workloads(gb, src, dst, n, iters, tag, detail):
-    """PageRank + BFS on (src, dst); fills detail[tag + key]."""
+    """PageRank + BFS on (src, dst); fills detail[tag + key].
+
+    Returns a list of deferred evaluation-forcing closures: anything that
+    reads device data (the BFS loop's device-side cond, the forced-read
+    fused timing, correctness checks) flips the tunnel runtime into its
+    synchronous mode for the REST OF THE PROCESS, so the caller runs all
+    enqueue-protocol sections of every workload first and the deferred
+    parts afterwards (see module docstring)."""
     import jax
 
+    deferred = []
     nnz = len(src)
     t0 = time.perf_counter()
     with gb.config.set(auto_sparse_limit=0):
@@ -126,81 +159,90 @@ def bench_workloads(gb, src, dst, n, iters, tag, detail):
     detail[tag + "pr_ms_per_iter"] = round(best_eager * 1e3, 3)
     _log(f"{tag}pr eager {best_eager*1e3:.3f} ms/iter")
 
-    # --- fused loop: the whole power sweep is ONE device program
-    t0 = time.perf_counter()
-    gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
-    rank.wait(how="complete")
-    detail[tag + "pr_fused_compile_s"] = round(time.perf_counter() - t0, 1)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
-        rank.wait(how="complete")
-        best = min(best, (time.perf_counter() - t0) / iters)
-    detail[tag + "pr_fused_ms_per_iter"] = round(best * 1e3, 3)
-    _log(f"{tag}pr fused {best*1e3:.3f} ms/iter")
     # headline: the standard-protocol eager loop (same meter as r1-r3)
     pr_gnnz = nnz / best_eager / 1e9
     detail[tag + "pr_gnnz_s"] = round(pr_gnnz, 3)
 
-    # tunnel-honest: force evaluation with a device->host read inside the
-    # timed region (see module docstring).  NOTE: the first read flips the
-    # tunnel runtime into synchronous mode for the rest of the process, so
-    # this runs AFTER every enqueue-protocol measurement of this workload.
-    t0 = time.perf_counter()
-    gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
-    float(np.asarray(rank[0].new().value))
-    forced = (time.perf_counter() - t0) / iters
-    detail[tag + "pr_forced_ms_per_iter"] = round(forced * 1e3, 3)
-    detail[tag + "pr_forced_gnnz_s"] = round(nnz / forced / 1e9, 4)
-    _log(f"{tag}pr forced {forced*1e3:.3f} ms/iter")
-
-    # --- Level BFS (notebook loop) fused on device
-    bfs_depth = bfs_s = reached = None
-    if not os.environ.get("BENCH_SKIP_BFS"):
-        with gb.config.set(auto_sparse_limit=0):
-            Ab = gb.Matrix.from_coo(src, dst, np.ones(nnz, bool),
-                                    dtype="BOOL", nrows=n, ncols=n)
-        lor_land = gb.semiring.lor_land["BOOL"]
-
-        def bfs_body(s, i):
-            s["v"](mask=s["q"].V)[:] = i
-            s["q"](~s["v"].S, replace=True) << s["q"].vxm(Ab, lor_land)
-
-        def bfs_cond(s, i):
-            return s["q"].reduce(gb.monoid.lor, allow_empty=False).new()
-
-        def run_bfs():
-            q = gb.Vector.from_coo([0], [True], size=n)
-            v = gb.Vector(gb.dtypes.INT32, n)
-            it = gb.ss.iterate(bfs_body, {"q": q, "v": v}, cond=bfs_cond,
-                               max_iter=64)
-            return v, it
-
+    def fused_pr():
+        # fused loop: the whole power sweep is ONE device program
         t0 = time.perf_counter()
-        v, it = run_bfs()
-        v.wait(how="complete")
-        detail[tag + "bfs_compile_s"] = round(time.perf_counter() - t0, 1)
-        _log(f"{tag}bfs warmup {detail[tag + 'bfs_compile_s']}s")
-        bfs_s = np.inf
+        gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
+        rank.wait(how="complete")
+        detail[tag + "pr_fused_compile_s"] = round(
+            time.perf_counter() - t0, 1)
+        best = np.inf
         for _ in range(3):
+            t0 = time.perf_counter()
+            gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
+            rank.wait(how="complete")
+            best = min(best, (time.perf_counter() - t0) / iters)
+        detail[tag + "pr_fused_ms_per_iter"] = round(best * 1e3, 3)
+        _log(f"{tag}pr fused {best*1e3:.3f} ms/iter")
+
+    deferred.append(fused_pr)
+
+    def forced_pr():
+        # tunnel-honest: force evaluation with a device->host read inside
+        # the timed region (see module docstring)
+        t0 = time.perf_counter()
+        gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
+        float(np.asarray(rank[0].new().value))
+        forced = (time.perf_counter() - t0) / iters
+        detail[tag + "pr_forced_ms_per_iter"] = round(forced * 1e3, 3)
+        detail[tag + "pr_forced_gnnz_s"] = round(nnz / forced / 1e9, 4)
+        _log(f"{tag}pr forced {forced*1e3:.3f} ms/iter")
+
+    deferred.append(forced_pr)
+
+    def bfs_and_checks():
+        bfs_s = it = v = None
+        if not os.environ.get("BENCH_SKIP_BFS"):
+            with gb.config.set(auto_sparse_limit=0):
+                Ab = gb.Matrix.from_coo(src, dst, np.ones(nnz, bool),
+                                        dtype="BOOL", nrows=n, ncols=n)
+            lor_land = gb.semiring.lor_land["BOOL"]
+
+            def bfs_body(s, i):
+                s["v"](mask=s["q"].V)[:] = i
+                s["q"](~s["v"].S, replace=True) << s["q"].vxm(Ab, lor_land)
+
+            def bfs_cond(s, i):
+                return s["q"].reduce(gb.monoid.lor,
+                                     allow_empty=False).new()
+
+            def run_bfs():
+                q = gb.Vector.from_coo([0], [True], size=n)
+                v = gb.Vector(gb.dtypes.INT32, n)
+                it = gb.ss.iterate(bfs_body, {"q": q, "v": v},
+                                   cond=bfs_cond, max_iter=64)
+                return v, it
+
             t0 = time.perf_counter()
             v, it = run_bfs()
             v.wait(how="complete")
-            bfs_s = min(bfs_s, time.perf_counter() - t0)
-        detail[tag + "bfs_s"] = round(bfs_s, 4)
-        detail[tag + "bfs_mteps"] = round(nnz / bfs_s / 1e6, 2)
-        _log(f"{tag}bfs {bfs_s*1e3:.1f} ms = {nnz/bfs_s/1e6:.1f} MTEPS")
+            detail[tag + "bfs_compile_s"] = round(time.perf_counter() - t0, 1)
+            _log(f"{tag}bfs warmup {detail[tag + 'bfs_compile_s']}s")
+            bfs_s = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v, it = run_bfs()
+                v.wait(how="complete")
+                bfs_s = min(bfs_s, time.perf_counter() - t0)
+            detail[tag + "bfs_s"] = round(bfs_s, 4)
+            detail[tag + "bfs_mteps"] = round(nnz / bfs_s / 1e6, 2)
+            _log(f"{tag}bfs {bfs_s*1e3:.1f} ms = {nnz/bfs_s/1e6:.1f} MTEPS")
 
-    # --- correctness (device->host reads allowed only from here on)
-    rsum = float(np.asarray(rank.to_coo()[1], dtype=np.float64).sum())
-    if tag == "":
-        assert 0.2 < rsum <= 1.5, f"pagerank mass {rsum}"
-    detail[tag + "pr_mass"] = round(rsum, 4)
-    if bfs_s is not None:
-        detail[tag + "bfs_depth"] = int(it)
-        detail[tag + "bfs_reached"] = int(v.nvals)
-    return pr_gnnz
+        # correctness checks (device->host reads)
+        rsum = float(np.asarray(rank.to_coo()[1], dtype=np.float64).sum())
+        if tag == "":
+            assert 0.2 < rsum <= 1.5, f"pagerank mass {rsum}"
+        detail[tag + "pr_mass"] = round(rsum, 4)
+        if bfs_s is not None:
+            detail[tag + "bfs_depth"] = int(it)
+            detail[tag + "bfs_reached"] = int(v.nvals)
+
+    deferred.append(bfs_and_checks)
+    return pr_gnnz, deferred
 
 
 def main():
@@ -234,7 +276,32 @@ def main():
     }
     _log(f"imported ({jax.default_backend()})")
 
-    pr_gnnz = bench_workloads(gb, src, dst, n, iters, "", detail)
+    pr_gnnz, deferred = bench_workloads(gb, src, dst, n, iters, "", detail)
+
+    if not os.environ.get("BENCH_SKIP_RMAT"):
+        rs, rd, rn = build_rmat(int(os.environ.get("BENCH_RMAT_SCALE", 17)))
+        _, rdef = bench_workloads(gb, rs, rd, rn, iters, "rmat_", detail)
+        deferred += rdef
+
+    # real-world data through the io layer: networkx's bundled Zachary
+    # karate-club graph; its triangle count (45) is a published fact
+    try:
+        import networkx as nx
+
+        G = nx.karate_club_graph()
+        K = gb.io.from_networkx(G, dtype="FP32")
+        ku, kv = K.to_coo()[:2]
+        keep = ku > kv
+        L = gb.Matrix.from_coo(ku[keep], kv[keep],
+                               np.ones(int(keep.sum()), np.float32),
+                               dtype="FP32", nrows=K.nrows, ncols=K.ncols)
+        C = gb.Matrix(gb.dtypes.FP32, K.nrows, K.ncols)
+        C(L.S) << L.mxm(L.T, gb.semiring.plus_pair["FP32"])
+        tri = int(C.reduce_scalar(gb.monoid.plus).new().value)
+        detail["karate_triangles"] = tri
+        assert tri == 45, tri
+    except ImportError:
+        pass
 
     mtx = os.environ.get("BENCH_MTX")
     if mtx and os.path.exists(mtx):
@@ -246,6 +313,11 @@ def main():
         detail["mtx"] = os.path.basename(mtx)
         bench_workloads(gb, M.row.astype(np.int64), M.col.astype(np.int64),
                         rn, iters, "mtx_", detail)
+
+    # evaluation-forcing sections run last: the first device->host read
+    # flips the tunnel runtime into synchronous mode for the whole process
+    for fn in deferred:
+        fn()
 
     detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     result = {

@@ -59,6 +59,8 @@ BR_S = 512      # scan-kernel sublanes per block
 WINDOW_K = 16384  # contraction span per gather block (128 u2 rows x 128)
 SPLIT_DEG = 2048  # max edges per (virtual) destination run
 PACK_LIMIT = 2.5  # max allowed padded-slots/nnz ratio before fallback
+UNI_TOTAL = 16384  # a 128-wide k-group this heavy gets its own uni blocks
+UNI_COL = 2048     # ... or containing one k this hot (lane-buster)
 
 # test hook: run the Pallas kernels in interpret mode on CPU
 _INTERPRET = False
@@ -96,39 +98,92 @@ def build_plan(d, k, vals_np, n_out, n_in):
     d = d.astype(np.int64)
     k = k.astype(np.int64)
 
-    # ---- G layout: group by 16384-wide aligned k-window, lane = k % 128.
-    w = k >> 14
-    lane_g = k & 127
-    so = np.lexsort((lane_g, w))
-    grp = (w[so] << 7) | lane_g[so]
+    # ---- G layout.  Two block kinds (the "uni" kind absorbs contraction
+    # skew — power-law k-degrees would otherwise concentrate one lane):
+    # - general (kind 0): edges grouped by a 16384-wide ALIGNED k-window,
+    #   placed at lane k % 128 with locidx = (k >> 7) & 127; the kernel
+    #   transpose-gathers u from the (128,128) window.
+    # - uni (kind 1): all edges of ONE 128-wide k-group (``ch = k >> 7``);
+    #   lane-free full packing with locidx = k & 127; the kernel broadcasts
+    #   the single u2 row and lane-gathers, so a hot destination-of-k
+    #   cannot unbalance lanes.
+    ch = k >> 7
+    cnt_ch = np.bincount(ch)
+    cnt_col = np.bincount(k)
+    maxcol_ch = np.zeros(len(cnt_ch), np.int64)
+    np.maximum.at(maxcol_ch, k >> 7, cnt_col[k])
+    is_uni_ch = (cnt_ch >= UNI_TOTAL) | (maxcol_ch >= UNI_COL)
+    uni_mask = is_uni_ch[ch]
+
+    slots_per_block = BR_G * 128
+
+    # uni part: per uni-ch, consecutive full blocks
+    ku = k[uni_mask]
+    so_u = np.argsort(ku, kind="stable")
+    ku = ku[so_u]
+    run_u = _run_index(ku >> 7)
+    uch, uch_inv = np.unique(ku >> 7, return_inverse=True)
+    blocks_per_uch = -(-np.bincount(uch_inv) // slots_per_block)
+    ublock_base = np.r_[0, np.cumsum(blocks_per_uch)]
+    n_uni_blocks = int(ublock_base[-1])
+    ublk = ublock_base[uch_inv] + run_u // slots_per_block
+    uoff = run_u % slots_per_block
+
+    # general part: per-window per-lane fills
+    kg = k[~uni_mask]
+    w = kg >> 14
+    lane_g = kg & 127
+    so_g = np.lexsort((lane_g, w))
+    grp = (w[so_g] << 7) | lane_g[so_g]
     run_g = _run_index(grp)
-    # per-window per-lane counts -> blocks per window
-    uw, w_inv = np.unique(w[so], return_inverse=True)
+    uw, w_inv = np.unique(w[so_g], return_inverse=True)
     nw = len(uw)
-    cnt_wl = np.zeros((nw, 128), np.int64)
-    np.add.at(cnt_wl, (w_inv, lane_g[so]), 1)
+    cnt_wl = np.zeros((max(nw, 1), 128), np.int64)
+    if len(so_g):
+        np.add.at(cnt_wl, (w_inv, lane_g[so_g]), 1)
     blocks_per_w = -(-cnt_wl.max(axis=1) // BR_G)
     block_base_w = np.r_[0, np.cumsum(blocks_per_w)]
-    nblocks_g = int(block_base_w[-1])
-    if nblocks_g * BR_G * 128 > PACK_LIMIT * m + 4 * BR_G * 128:
+    n_gen_blocks = int(block_base_w[-1]) if nw else 0
+
+    nblocks_g = n_uni_blocks + n_gen_blocks
+    if nblocks_g == 0:
+        nblocks_g = 1
+    if nblocks_g * slots_per_block > PACK_LIMIT * m + 4 * slots_per_block:
         return None
-    blk = block_base_w[w_inv] + run_g // BR_G
-    sub = run_g % BR_G
-    r_g = blk * BR_G + sub
-    gslot = r_g * 128 + lane_g[so]
     R_g = nblocks_g * BR_G
     L_g = R_g * 128
 
-    wbase = np.zeros(nblocks_g, np.int32)
-    wbase[block_base_w[:-1]] = 1
-    wbase = uw[np.cumsum(wbase) - 1].astype(np.int32)  # u2 row-block index
+    # block metadata: (u2 row-block, kind, row-within-window for uni)
+    meta = np.zeros((nblocks_g, 3), np.int32)
+    if n_uni_blocks:
+        ub = np.zeros(n_uni_blocks, np.int32)
+        ub[ublock_base[:-1]] = 1
+        uch_of_block = uch[np.cumsum(ub) - 1]
+        meta[:n_uni_blocks, 0] = uch_of_block >> 7
+        meta[:n_uni_blocks, 1] = 1
+        meta[:n_uni_blocks, 2] = uch_of_block & 127
+    if n_gen_blocks:
+        gb_ = np.zeros(n_gen_blocks, np.int32)
+        gb_[block_base_w[:-1]] = 1
+        meta[n_uni_blocks:, 0] = uw[np.cumsum(gb_) - 1].astype(np.int32)
 
     locidx_g = np.zeros((R_g, 128), np.int32)
     okg = np.zeros((R_g, 128), bool)
     avals_g = np.zeros((R_g, 128), vals_np.dtype)
-    locidx_g.reshape(-1)[gslot] = (k[so] >> 7) & 127
+
+    gslot = np.empty(m, np.int64)
+    if len(so_u):
+        s_u = ublk * slots_per_block + uoff
+        gslot[np.flatnonzero(uni_mask)[so_u]] = s_u
+        locidx_g.reshape(-1)[s_u] = ku & 127
+    if len(so_g):
+        blk = n_uni_blocks + block_base_w[w_inv] + run_g // BR_G
+        sub = run_g % BR_G
+        s_g = (blk * BR_G + sub) * 128 + lane_g[so_g]
+        gslot[np.flatnonzero(~uni_mask)[so_g]] = s_g
+        locidx_g.reshape(-1)[s_g] = (kg[so_g] >> 7) & 127
     okg.reshape(-1)[gslot] = True
-    avals_g.reshape(-1)[gslot] = vals_np[so]
+    avals_g.reshape(-1)[gslot] = vals_np
 
     # ---- S layout: virtual destinations, balanced lanes, dest-major runs.
     deg = np.bincount(d, minlength=n_out)
@@ -243,8 +298,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
 
     # route: gslot(edge) -> sslot(edge); free G slots -> free S slots
     route = np.empty(L, np.int32)
-    edge_g = np.empty(m, np.int64)
-    edge_g[so] = gslot  # gslot was computed in `so` order
+    edge_g = gslot  # already in original edge order
     route[edge_g] = sslot
     gused = np.zeros(L, bool)
     gused[edge_g] = True
@@ -255,7 +309,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
     plan = {
         "R_g": R_g, "L": L, "R_scan": R_scan, "V": V, "n_out": n_out,
         "n_in": n_in, "nblocks_g": nblocks_g, "two_level": two_level,
-        "wbase": wbase,
+        "meta": meta,
         "locidx_g": locidx_g,
         "okg": okg,
         "avals_g": avals_g,
@@ -312,15 +366,25 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
         prods = st.cast_values(prods, mult.return_type, z_dt).astype(z_c)
         return jnp.where(ok, prods, ident_c)
 
-    def kernel(wb_ref, uwin_ref, uokwin_ref, loc_ref, okg_ref, av_ref,
+    def kernel(meta_ref, uwin_ref, uokwin_ref, loc_ref, okg_ref, av_ref,
                prods_ref, okp_ref):
+        i = pl.program_id(0)
+        is_uni = meta_ref[i, 1] == 1
+        hloc = meta_ref[i, 2]
         ut = uwin_ref[:].T
         uot = uokwin_ref[:].T
+        # uni path source: ONE window row broadcast over sublanes
+        urow = jnp.broadcast_to(uwin_ref[pl.ds(hloc, 1), :], (128, 128))
+        uorow = jnp.broadcast_to(uokwin_ref[pl.ds(hloc, 1), :], (128, 128))
         for s in range(BR_G // 128):
             sl = slice(s * 128, (s + 1) * 128)
-            ixT = loc_ref[sl, :].T
-            g = jnp.take_along_axis(ut, ixT, axis=1).T
-            go = jnp.take_along_axis(uot, ixT, axis=1).T
+            ix = loc_ref[sl, :]
+            g_gen = jnp.take_along_axis(ut, ix.T, axis=1).T
+            go_gen = jnp.take_along_axis(uot, ix.T, axis=1).T
+            g_uni = jnp.take_along_axis(urow, ix, axis=1)
+            go_uni = jnp.take_along_axis(uorow, ix, axis=1)
+            g = jnp.where(is_uni, g_uni, g_gen)
+            go = jnp.where(is_uni, go_uni, go_gen)
             ok = (okg_ref[sl, :] != 0) & (go != 0)
             prods_ref[sl, :] = compute(av_ref[sl, :], g, ok)
             okp_ref[sl, :] = ok.astype(jnp.int32)
@@ -329,8 +393,8 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((128, 128), lambda i, wb: (wb[i], 0)),
-            pl.BlockSpec((128, 128), lambda i, wb: (wb[i], 0)),
+            pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
+            pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
@@ -466,7 +530,7 @@ def _get_plan(spstore, dest_is_row, *, at=False):
         plans[key] = None
         return None
     dev = {}
-    for name in ("wbase", "locidx_g", "okg", "avals_g", "barrier", "oks",
+    for name in ("meta", "locidx_g", "okg", "avals_g", "barrier", "oks",
                  "ext_rank", "route", "bar2", "ok2", "ext2"):
         if name in plan:
             arr = plan[name]
@@ -481,7 +545,7 @@ def _get_plan(spstore, dest_is_row, *, at=False):
 
 def plan_dyn_tuple(entry):
     d = entry["dev"]
-    base = (d["wbase"], d["locidx_g"], d["okg"], d["avals_g"], d["barrier"],
+    base = (d["meta"], d["locidx_g"], d["okg"], d["avals_g"], d["barrier"],
             d["oks"], d["ext_rank"], d["route"])
     if entry["two_level"]:
         return base + (d["bar2"], d["ok2"], d["ext2"])
@@ -493,7 +557,7 @@ def plan_dyn_tuple(entry):
 def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
                   kind):
     """(out_vals[n_out] in monoid dtype, out_valid[n_out])."""
-    (wbase, locidx, okg, avals, barrier, oks, ext_rank, route) = plan_dyn[:8]
+    (gmeta, locidx, okg, avals, barrier, oks, ext_rank, route) = plan_dyn[:8]
     R_g = meta["R_g"]
     L = meta["L"]
     R_scan = meta["R_scan"]
@@ -519,14 +583,20 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     if _use_pallas():
         with jax.enable_x64(False):
             prods, okp = gather_mult(
-                (wbase, locidx, okg, avals), u2, u2ok, mult, a_dt, u_dt,
+                (gmeta, locidx, okg, avals), u2, u2ok, mult, a_dt, u_dt,
                 mono, kind=kind, R_g=R_g, nblocks=nblocks)
     else:
-        # XLA fallback (CPU correctness): flat gather of u at k per slot
-        loc = locidx.reshape(-1)
-        wb_rows = jnp.repeat(wbase.astype(jnp.int64), BR_G * 128)
+        # XLA fallback (CPU correctness): flat gather of u at k per slot.
+        # general block: k = (wb*128 + locidx)*128 + lane
+        # uni block:     k = (wb*128 + hloc)*128 + locidx
+        loc = locidx.reshape(-1).astype(jnp.int64)
+        wb_rows = jnp.repeat(gmeta[:, 0].astype(jnp.int64), BR_G * 128)
+        is_uni = jnp.repeat(gmeta[:, 1].astype(jnp.int64), BR_G * 128) == 1
+        hloc = jnp.repeat(gmeta[:, 2].astype(jnp.int64), BR_G * 128)
         lanes = jnp.tile(jnp.arange(128), R_g)
-        kk = (wb_rows * 128 + loc.reshape(-1).astype(jnp.int64)) * 128 + lanes
+        kk_gen = (wb_rows * 128 + loc) * 128 + lanes
+        kk_uni = (wb_rows * 128 + hloc) * 128 + loc
+        kk = jnp.where(is_uni, kk_uni, kk_gen)
         kk = jnp.minimum(kk, Ru * 128 - 1)
         g = jnp.take(u2.reshape(-1), kk).reshape(R_g, 128)
         go = jnp.take(u2ok.reshape(-1), kk).reshape(R_g, 128)
