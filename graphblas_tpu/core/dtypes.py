@@ -2,8 +2,9 @@
 
 Capability parity with reference graphblas/core/dtypes.py (DataType:16,
 register_new:76, register_anonymous:87, lookup_dtype:352, unify:377), designed
-for JAX: every builtin dtype maps to a JAX-supported numpy dtype (x64 is
-enabled at package import so INT64/UINT64/FP64/FC64 are exact).
+for JAX: every builtin dtype maps to a JAX-supported numpy dtype
+(INT64/UINT64/FP64/FC64 stay exact via the scoped x64 boundary,
+core/utils.py:x64_methods — the global JAX config is never touched).
 
 UDTs (user-defined types) are any numpy struct or subarray dtype.  On device a
 UDT value is a pytree: subarray dtypes become trailing array dimensions;
@@ -218,7 +219,10 @@ def _dtype_to_string(dtype):
         np_type = dt.np_type
     s = str(np_type)
     try:
-        if np.dtype(np.lib.format.safe_eval(s)) == np_type:
+        # ast.literal_eval: np.lib.format.safe_eval was removed from numpy
+        import ast
+
+        if np.dtype(ast.literal_eval(s)) == np_type:
             return s
     except Exception:
         pass
@@ -227,16 +231,24 @@ def _dtype_to_string(dtype):
     return repr(np_type.str)
 
 
+def _safe_eval_dtype(s):
+    """Parse a dtype literal string (ast.literal_eval: numpy removed
+    np.lib.format.safe_eval)."""
+    import ast
+
+    return np.dtype(ast.literal_eval(s))
+
+
 def _string_to_dtype(s):
     try:
         return lookup_dtype(s)
     except Exception:
         pass
-    return lookup_dtype(np.dtype(np.lib.format.safe_eval(s)))
+    return lookup_dtype(_safe_eval_dtype(s))
 
 
 def _deserialize_udt(s, name):
-    np_type = np.dtype(np.lib.format.safe_eval(s)) if s not in _registry else np.dtype(s)
+    np_type = _safe_eval_dtype(s) if s not in _registry else np.dtype(s)
     if np_type in _registry:
         return _registry[np_type]
     return register_anonymous(np_type, name)

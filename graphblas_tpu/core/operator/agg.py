@@ -389,7 +389,11 @@ class Aggregator:
         return _call_op(self, val)
 
     def __reduce__(self):
-        return f"agg_DOT_{self.name}"
+        # pickle by namespace + name, like every other op kind
+        # (core/operator/base.py __reduce__; reference base.py:265-272)
+        from .base import _op_from_namespace
+
+        return (_op_from_namespace, ("agg", self.name))
 
 
 def _initialize_builtins(namespace):

@@ -146,3 +146,13 @@ def index(expr):
 
 def __dir__():
     return list(globals().keys())
+
+
+# scoped 64-bit mode over module entry points (core/utils.py:x64_func):
+# the rewriters do eager scalar arithmetic on INT64 thunks
+from ..core.utils import x64_func as _x64_func  # noqa: E402
+
+row = _x64_func(row)
+column = _x64_func(column)
+index = _x64_func(index)
+value = _x64_func(value)

@@ -31,6 +31,8 @@ def _build_by_name(key, *, allow_positional=False):
     mono = getattr(monoid_ns, add_name, None)
     if mono is None:
         raise AttributeError(key)
+    if mult_name == "div":
+        mult_name = "cdiv"  # GrB spelling: div IS cdiv (SURVEY Appendix B)
     if mult_name in _POS_MULT:
         if not allow_positional:
             raise AttributeError(
