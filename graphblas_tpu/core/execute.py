@@ -719,6 +719,28 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
 
 # --------------------------------------------------------------------- #
 # public entry points
+def _dist_through(expr, out):
+    """Keep distribution through structure-preserving unary transforms:
+    ``B = A.apply(op)`` on a shard_matrix()-ed A attaches a BlockedCSR to
+    B sharing A's index arrays with SPMD-transformed values."""
+    if expr.method_name != "apply" or len(expr._statics) != 2:
+        return  # unary apply only: statics == (src_dt, tflag)
+    src_dt, tflag = expr._statics
+    if tflag or expr.op is None or expr.op._positional is not None:
+        return
+    dist = getattr(expr.args[0], "_dist", None)
+    if dist is None:
+        return
+    from ..parallel.spmv import BlockedCSR
+
+    with jax.enable_x64(True):
+        vals = dense.apply_unop(expr.op, dist.vals, src_dt)
+        vals = st.cast_values(vals, expr.op.return_type, out.dtype)
+    out._dist = BlockedCSR(dist.rowids, dist.cols, vals, dist.edge_ok,
+                           dist.csc_perm, dist.n, dist.rows_per, dist.nnz,
+                           dist.mesh, dist.axis, out.dtype)
+
+
 def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None,
                 opts=None):
     out_cls = expr.output_type
@@ -726,7 +748,9 @@ def materialize(expr, out_dtype, *, mask=None, name=None, is_cscalar=None,
     if plan == "sparse" and mask is None:
         record(lambda: _record_line(None, expr, None, None, False))
         sp = _sparse_out_run(expr, out_dtype, opts=opts)
-        return out_cls._from_sparse(out_dtype, sp, name=name)
+        out = out_cls._from_sparse(out_dtype, sp, name=name)
+        _dist_through(expr, out)
+        return out
     out = out_cls._empty(out_dtype, expr.shape, name=name)
     if is_cscalar is not None and hasattr(out, "_is_cscalar"):
         out._is_cscalar = bool(is_cscalar)

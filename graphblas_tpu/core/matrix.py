@@ -177,7 +177,7 @@ class Matrix(Collection):
 
     @classmethod
     def from_edgelist(cls, edgelist, values=None, dtype=None, *, nrows=None,
-                      ncols=None, name=None):
+                      ncols=None, dup_op=None, name=None):
         """Reference matrix.py:963."""
         edges = np.asarray(list(edgelist) if not isinstance(edgelist, np.ndarray)
                            else edgelist)
@@ -198,7 +198,7 @@ class Matrix(Collection):
             cols = edges[:, 1].astype(np.int64)
             vals = 1.0 if values is None else values
         return cls.from_coo(rows, cols, vals, dtype, nrows=nrows, ncols=ncols,
-                            name=name)
+                            dup_op=dup_op, name=name)
 
     @classmethod
     def from_csr(cls, indptr, col_indices, values=1.0, dtype=None, *,

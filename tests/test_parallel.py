@@ -342,3 +342,18 @@ def test_dist_ewise_blocked_same_structure(rng):
     # the blocked values drive a distributed reduce directly
     got = C.reduce_scalar(gb.monoid.plus).new().value
     assert abs(got - want.reduce_scalar(gb.monoid.plus).new().value) < 1e-3
+
+
+def test_dist_apply_keeps_distribution(rng):
+    """B = A.apply(op) on a sharded A is itself sharded (structure-
+    preserving transform over the blocked values, parallel-free)."""
+    import graphblas_tpu as gb
+
+    A, A2, mesh, _ = _r4_sharded(rng)
+    B = A.apply(gb.unary.ainv).new()
+    assert getattr(B, "_dist", None) is not None
+    want = A2.apply(gb.unary.ainv).new()
+    assert B.isclose(want, rel_tol=1e-6)
+    # and the attached distribution drives a distributed reduce
+    got = B.reduce_scalar(gb.monoid.plus).new().value
+    assert abs(got - want.reduce_scalar(gb.monoid.plus).new().value) < 1e-3
