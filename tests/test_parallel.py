@@ -357,3 +357,24 @@ def test_dist_apply_keeps_distribution(rng):
     # and the attached distribution drives a distributed reduce
     got = B.reduce_scalar(gb.monoid.plus).new().value
     assert abs(got - want.reduce_scalar(gb.monoid.plus).new().value) < 1e-3
+
+
+def test_dist_2d_mesh(rng):
+    """A 2-D mesh works: row-blocks shard over the first axis, replicate
+    over the rest; collectives ride the first axis only."""
+    import graphblas_tpu as gb
+    from graphblas_tpu.parallel import make_mesh, shard_matrix
+
+    n = 64
+    r, c = _r4_graph(rng, n, 600)
+    v = rng.random(len(r)).astype(np.float32)
+    with gb.config.set(auto_sparse_limit=0):
+        A = gb.Matrix.from_coo(r, c, v, dtype="FP32", nrows=n, ncols=n)
+        A2 = gb.Matrix.from_coo(r, c, v, dtype="FP32", nrows=n, ncols=n)
+    mesh = make_mesh((4, 2), ("i", "j"))
+    shard_matrix(A, mesh)
+    x = gb.Vector.from_dense(rng.random(n).astype(np.float32))
+    assert A.mxv(x, gb.semiring.plus_times["FP32"]).new().isclose(
+        A2.mxv(x, gb.semiring.plus_times["FP32"]).new(), rel_tol=1e-5)
+    assert A.reduce_columnwise(gb.monoid.plus).new().isclose(
+        A2.reduce_columnwise(gb.monoid.plus).new(), rel_tol=1e-5)
