@@ -343,7 +343,10 @@ def test_sparsity_control_live():
     """Per-object config tier is live (SURVEY §5; reference
     core/ss/matrix.py:124-180 sparsity_control)."""
     A = gb.Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], nrows=3, ncols=3)
-    assert A.ss.config["sparsity_status"] == "bitmap"
+    # initial backing follows auto_sparse_limit (the --force-sparse axis
+    # makes every matrix sparse-backed from birth)
+    auto = A._sparse is None
+    assert A.ss.config["sparsity_status"] == ("bitmap" if auto else "sparse")
     A.ss.config["sparsity_control"] = "sparse"
     assert A._sparse is not None
     assert A.ss.config["sparsity_status"] == "sparse"
