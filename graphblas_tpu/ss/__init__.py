@@ -162,9 +162,9 @@ def iterate(body, state, *, cond=None, max_iter=64):
         (INT64) usable as an operand (e.g. ``v(mask=q.V)[:] = i``).
         Must not inspect host values (``.nvals``, ``bool(...)``) — shapes
         and dispatch configuration must be iteration-independent.
-    state : dict[str, Vector]
-        Dense-backed vectors carried through the loop.  Updated in place
-        with the final values when the loop ends.
+    state : dict[str, Vector | Matrix]
+        Dense-backed collections carried through the loop.  Updated in
+        place with the final values when the loop ends.
     cond : callable(state, i) -> Scalar, optional
         Evaluated after each body run; the loop continues while its value
         is truthy (do-while semantics).  None runs exactly ``max_iter``
@@ -186,19 +186,22 @@ def iterate(body, state, *, cond=None, max_iter=64):
     from ..core.scalar import Scalar
     from ..core.vector import Vector
 
+    from ..core.matrix import Matrix
+
     names = list(state)
     for name in names:
         v = state[name]
-        if not isinstance(v, Vector):
-            raise TypeError(f"state[{name!r}] must be a Vector; got {type(v)}")
+        if not isinstance(v, (Vector, Matrix)):
+            raise TypeError(
+                f"state[{name!r}] must be a Vector or Matrix; got {type(v)}")
         if v._sparse is not None:
             v._densify()
 
     def make_state(arrays):
         out = {}
         for name, (vals, valid) in zip(names, arrays):
-            out[name] = Vector._from_store(state[name].dtype, vals, valid,
-                                           name=name)
+            out[name] = type(state[name])._from_store(
+                state[name].dtype, vals, valid, name=name)
         return out
 
     def body_fn(carry):

@@ -111,3 +111,70 @@ def test_iterate_counter_is_one_based():
 def test_iterate_rejects_non_vector():
     with pytest.raises(TypeError, match="must be a Vector"):
         gb.ss.iterate(lambda s, i: None, {"x": 5}, max_iter=1)
+
+
+def test_iterate_zero_max_iter():
+    v = gb.Vector.from_dense(np.array([1.0, 2.0]))
+
+    def body(s, i):
+        s["v"][:] = 0.0
+
+    iters = gb.ss.iterate(body, {"v": v}, max_iter=0)
+    assert int(iters) == 0
+    assert v.to_dict() == {0: 1.0, 1: 2.0}  # untouched
+
+
+def test_iterate_do_while_runs_body_once():
+    # cond is checked AFTER the body (do-while): a False cond still means
+    # one executed iteration
+    v = gb.Vector.from_dense(np.array([5.0]))
+
+    def body(s, i):
+        s["v"] << s["v"].apply(gb.binary.plus, right=1.0)
+
+    def cond(s, i):
+        return gb.Scalar.from_value(False)
+
+    iters = gb.ss.iterate(body, {"v": v}, cond=cond, max_iter=10)
+    assert int(iters) == 1
+    assert v.to_dict() == {0: 6.0}
+
+
+def test_iterate_matrix_state_msbfs(rng):
+    """Fused multi-source BFS: matrix frontier state inside the device
+    loop matches the eager batched loop (docs/notebooks/11)."""
+    n = 60
+    r, c = _graph(rng, n, 400)
+    A = gb.Matrix.from_coo(r, c, np.ones(len(r), bool), dtype="BOOL",
+                           nrows=n, ncols=n)
+    ring = gb.semiring.lor_land["BOOL"]
+    sources = [0, 7, 23]
+    k = len(sources)
+
+    def run_eager():
+        Q = gb.Matrix.from_coo(range(k), sources, True, nrows=k, ncols=n)
+        L = gb.Matrix(gb.dtypes.INT64, k, n)
+        d = 0
+        while d < 40:
+            d += 1
+            L(mask=Q.S)[:, :] = d
+            Q(~L.S, replace=True) << Q.mxm(A, ring)
+            if Q.reduce_scalar(gb.monoid.lor,
+                               allow_empty=False).new().value == False:  # noqa: E712
+                break
+        return L
+
+    want = run_eager()
+
+    Q = gb.Matrix.from_coo(range(k), sources, True, nrows=k, ncols=n)
+    L = gb.Matrix(gb.dtypes.INT64, k, n)
+
+    def body(s, i):
+        s["L"](mask=s["Q"].S)[:, :] = i
+        s["Q"](~s["L"].S, replace=True) << s["Q"].mxm(A, ring)
+
+    def cond(s, i):
+        return s["Q"].reduce_scalar(gb.monoid.lor, allow_empty=False).new()
+
+    gb.ss.iterate(body, {"Q": Q, "L": L}, cond=cond, max_iter=40)
+    assert L.isequal(want)
