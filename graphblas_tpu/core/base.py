@@ -29,6 +29,19 @@ def record_call(line):
 def _expect_type(self, x, types, *, within=None, argname=None, extra_message=""):
     if isinstance(x, types):
         return x
+    # autocompute: an expression whose output type matches is materialized
+    # on demand, so expressions compose as operands (reference
+    # automethods trampoline, core/automethods.py:13)
+    out_t = getattr(x, "output_type", None)
+    if out_t is not None and (isinstance(x, BaseExpression)
+                              or hasattr(x, "_get_value")
+                              or hasattr(x, "new")):
+        tt = types if isinstance(types, tuple) else (types,)
+        if any(isinstance(out_t, type) and issubclass(out_t, t) for t in tt):
+            from .config import config
+
+            if config.get("autocompute", True) and hasattr(x, "new"):
+                return x.new()
     if isinstance(types, tuple):
         names = ", ".join(t.__name__ for t in types)
     else:
