@@ -42,7 +42,6 @@ supported scan combine, non-positional multiplies (same gate as sortpipe)
 plus plan-packing quality.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
