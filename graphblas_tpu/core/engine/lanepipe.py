@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dense
+from . import permute as pm
 from . import sortpipe as sp
 from . import store as st
 
@@ -528,16 +529,33 @@ def _get_plan(spstore, dest_is_row, *, at=False):
     if plan is None:
         plans[key] = None
         return None
+    # decompose the three static permutations into Clos-route stage plans
+    # (permute.py): replaces the round-4 global lax.sorts
+    perms = {"routeP": pm.build_perm_plan(plan["route"]),
+             "extP": pm.build_perm_plan(plan["ext_rank"])}
+    if plan["two_level"]:
+        perms["ext2P"] = pm.build_perm_plan(plan["ext2"])
     dev = {}
     for name in ("meta", "locidx_g", "okg", "avals_g", "barrier", "oks",
-                 "ext_rank", "route", "bar2", "ok2", "ext2"):
+                 "bar2", "ok2"):
         if name in plan:
             arr = plan[name]
             if arr.dtype == bool:
                 arr = arr.astype(np.int32)
             dev[name] = jnp.asarray(arr)
     entry = {k2: v for k2, v in plan.items() if not isinstance(v, np.ndarray)}
+    pmeta = {}
+    for pname, pplan in perms.items():
+        meta_p, dev_p = pm.plan_to_device(pplan)
+        pmeta[pname] = meta_p
+        dev[pname] = dev_p
+    entry["permmeta"] = pmeta
     entry["dev"] = dev
+    entry["key"] = (entry["L"], entry["R_g"], entry["V"], entry["n_in"],
+                    entry["n_out"], entry["two_level"],
+                    entry.get("L2", 0), entry.get("R2", 0),
+                    tuple(sorted((k3, v3["T"], v3["T_pad"])
+                                 for k3, v3 in pmeta.items())))
     plans[key] = entry
     return entry
 
@@ -545,9 +563,9 @@ def _get_plan(spstore, dest_is_row, *, at=False):
 def plan_dyn_tuple(entry):
     d = entry["dev"]
     base = (d["meta"], d["locidx_g"], d["okg"], d["avals_g"], d["barrier"],
-            d["oks"], d["ext_rank"], d["route"])
+            d["oks"], d["routeP"], d["extP"])
     if entry["two_level"]:
-        return base + (d["bar2"], d["ok2"], d["ext2"])
+        return base + (d["bar2"], d["ok2"], d["ext2P"])
     return base
 
 
@@ -556,7 +574,7 @@ def plan_dyn_tuple(entry):
 def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
                   kind):
     """(out_vals[n_out] in monoid dtype, out_valid[n_out])."""
-    (gmeta, locidx, okg, avals, barrier, oks, ext_rank, route) = plan_dyn[:8]
+    (gmeta, locidx, okg, avals, barrier, oks, routeP, extP) = plan_dyn[:8]
     R_g = meta["R_g"]
     L = meta["L"]
     R_scan = meta["R_scan"]
@@ -612,16 +630,21 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
         prods = jnp.where(ok, p, ident_c)
         okp = ok.astype(jnp.int32)
 
-    # route to S layout
+    # route to S layout (Clos static permutation; permute.py)
     pf = prods.reshape(-1)
     hf = okp.reshape(-1)
     if L > R_g * 128:
         padn = L - R_g * 128
         pf = jnp.concatenate([pf, jnp.full(padn, ident_c, z_c)])
         hf = jnp.concatenate([hf, jnp.zeros(padn, jnp.int32)])
-    _, pv, ph = jax.lax.sort((route, pf, hf), num_keys=1)
-    pv2 = pv.reshape(R_scan, 128)
-    ph2 = (ph.reshape(R_scan, 128) != 0) & (oks != 0)
+    with jax.enable_x64(False):
+        pv2, ph_r = pm.apply_perm(
+            meta["permmeta"]["routeP"], routeP,
+            [pf.reshape(-1, 128), hf.reshape(-1, 128)],
+            use_pallas=_use_pallas(), interpret=_INTERPRET)
+    ph2 = (ph_r != 0) & (oks != 0)
+    pv2 = jnp.where(ph2, pv2, ident_c)
+    ph2 = ph2.astype(jnp.int32)
     pv2 = jnp.where(ph2, pv2, ident_c)
     ph2 = ph2.astype(jnp.int32)
 
@@ -637,11 +660,15 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     else:
         s_v, s_h = _segscan_xla(barrier, pv2, ph2, combine)
 
-    _, e_v, e_h = jax.lax.sort(
-        (ext_rank, s_v.reshape(-1), s_h.reshape(-1)), num_keys=1)
+    with jax.enable_x64(False):
+        e_v, e_h = pm.apply_perm(
+            meta["permmeta"]["extP"], extP, [s_v, s_h],
+            use_pallas=_use_pallas(), interpret=_INTERPRET)
+    e_v = e_v.reshape(-1)
+    e_h = e_h.reshape(-1)
 
     if meta["two_level"]:
-        bar2, ok2, ext2 = plan_dyn[8:11]
+        bar2, ok2, ext2P = plan_dyn[8:11]
         L2 = meta["L2"]
         R2 = meta["R2"]
         # ext ranks placed totals directly at their level-2 positions
@@ -655,8 +682,12 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
                 s2v, s2h = lane_segscan(bar2, tv2, th2, combine)
         else:
             s2v, s2h = _segscan_xla(bar2, tv2, th2, combine)
-        _, e_v, e_h = jax.lax.sort(
-            (ext2, s2v.reshape(-1), s2h.reshape(-1)), num_keys=1)
+        with jax.enable_x64(False):
+            e_v, e_h = pm.apply_perm(
+                meta["permmeta"]["ext2P"], ext2P, [s2v, s2h],
+                use_pallas=_use_pallas(), interpret=_INTERPRET)
+        e_v = e_v.reshape(-1)
+        e_h = e_h.reshape(-1)
 
     out = e_v[:n_out].astype(z_dt.np_type)
     return out, e_h[:n_out] > 0

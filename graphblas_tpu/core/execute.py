@@ -204,10 +204,11 @@ def _inline_sparse_impl(expr):
                             extra, lentry, u_vals, u_valid, e.op, mat_dt,
                             u_dt, kind=m)
 
+                    # the key carries L2/R2 and the perm-stage geometry so
+                    # structurally different plans never share a cached
+                    # closure (round-4 advisor finding)
                     return (impl, lanepipe.plan_dyn_tuple(lentry),
-                            ("lanepipe", lentry["L"], lentry["R_g"],
-                             lentry["V"], lentry["n_in"], lentry["n_out"],
-                             lentry["two_level"]))
+                            ("lanepipe",) + lentry["key"])
             entry = sortpipe.get_plan(sp, m == "mxv", at=bool(tflag))
             if entry["vals_m"] is not None:
                 n_in, n_out, L = entry["n_in"], entry["n_out"], entry["L"]

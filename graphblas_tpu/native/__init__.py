@@ -18,8 +18,13 @@ _BUILD_DIR = os.path.join(_HERE, "_build")
 _SO_PATH = os.path.join(_BUILD_DIR, "libgbbuilder.so")
 _SRC = os.path.join(_HERE, "builder.cpp")
 
+_PERM_SRC = os.path.join(_HERE, "permplan.cpp")
+_PERM_SO = os.path.join(_BUILD_DIR, "libgbpermplan.so")
+
 _lib = None
 _tried = False
+_permlib = None
+_perm_tried = False
 _lock = threading.Lock()
 
 
@@ -131,3 +136,106 @@ def coo_degrees(rows, nrows):
     deg = np.empty(nrows, np.int64)
     lib.coo_degrees(_ptr(rows), n, int(nrows), _ptr(deg))
     return deg
+
+
+# --------------------------------------------------------------------- #
+# Clos-route planning (permplan.cpp): Euler-split edge coloring
+def _get_permlib():
+    global _permlib, _perm_tried
+    if _permlib is not None or _perm_tried:
+        return _permlib
+    with _lock:
+        if _permlib is not None or _perm_tried:
+            return _permlib
+        _perm_tried = True
+        try:
+            if not os.path.exists(_PERM_SO) or (
+                os.path.getmtime(_PERM_SO) < os.path.getmtime(_PERM_SRC)
+            ):
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _PERM_SRC, "-o", _PERM_SO],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_PERM_SO)
+            lib.clos_color.restype = ctypes.c_int
+            lib.clos_color.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p,
+            ]
+            _permlib = lib
+        except Exception:  # noqa: BLE001
+            _permlib = None
+    return _permlib
+
+
+def _clos_color_py(u, v, offs, m, d):
+    """Pure-python Euler-split fallback (small graphs / no compiler)."""
+    colors = np.empty(len(u), np.int32)
+
+    def rec(eids, dd, c0):
+        if dd == 1:
+            colors[eids] = c0
+            return
+        ne = len(eids)
+        uu = u[eids]
+        vv = v[eids] + m
+        # incidence as dict-of-lists (both endpoints of every edge)
+        inc_u = {}
+        for i in range(ne):
+            inc_u.setdefault(uu[i], []).append(i)
+            inc_u.setdefault(vv[i], []).append(i)
+        cursor = {k: 0 for k in inc_u}
+        side = np.full(ne, 2, np.int8)
+        for start in range(ne):
+            if side[start] != 2:
+                continue
+            i = start
+            sd = 0
+            at_left = True
+            while True:
+                side[i] = sd
+                sd ^= 1
+                node = vv[i] if at_left else uu[i]
+                lst = inc_u[node]
+                j = -1
+                while cursor[node] < len(lst):
+                    cand = lst[cursor[node]]
+                    cursor[node] += 1
+                    if side[cand] == 2:
+                        j = cand
+                        break
+                if j < 0:
+                    break
+                i = j
+                at_left = node < m
+        h0 = eids[side == 0]
+        h1 = eids[side == 1]
+        rec(h0, dd // 2, c0)
+        rec(h1, dd // 2, c0 + dd // 2)
+
+    for g in range(len(offs) - 1):
+        lo, hi = int(offs[g]), int(offs[g + 1])
+        rec(np.arange(lo, hi, dtype=np.int64), d, 0)
+    return colors
+
+
+def clos_color(u, v, offs, m, d):
+    """Edge-color regular bipartite multigraphs (degree d, power of two).
+
+    u, v: int32 per-graph node ids in [0, m); offs: int64[ngraphs+1]
+    partition of the edge arrays.  Returns int32 colors in [0, d), distinct
+    within every left node and every right node of each graph.
+    """
+    u = np.ascontiguousarray(u, np.int32)
+    v = np.ascontiguousarray(v, np.int32)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lib = _get_permlib()
+    if lib is not None:
+        colors = np.empty(len(u), np.int32)
+        rc = lib.clos_color(_ptr(u), _ptr(v), _ptr(offs),
+                            len(offs) - 1, int(m), int(d), _ptr(colors))
+        if rc == 0:
+            return colors
+    return _clos_color_py(u, v, offs, m, d)
