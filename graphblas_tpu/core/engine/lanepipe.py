@@ -492,7 +492,10 @@ def eligible(ring, a_dt, u_dt):
 
 def get_plan(spstore, dest_is_row, *, at=False):
     """Cached lanepipe plan on a SparseStore (device arrays)."""
-    with jax.enable_x64(True):
+    # ensure_compile_time_eval: get_plan may first run inside an
+    # ss.iterate while-body trace; without it the cached device arrays
+    # would be tracers and leak into later traces
+    with jax.ensure_compile_time_eval(), jax.enable_x64(True):
         return _get_plan(spstore, dest_is_row, at=at)
 
 

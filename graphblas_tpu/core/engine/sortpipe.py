@@ -329,7 +329,9 @@ _PLAN_BUILDERS = {}
 def get_plan(sp, dest_is_row, *, at=False):
     """Cached plan for a SparseStore.  `at` applies the lazy transpose by
     swapping coordinate roles (so dest 'row' on A.T = dest 'col' on A)."""
-    with jax.enable_x64(True):
+    # ensure_compile_time_eval: may first run inside an ss.iterate
+    # while-body trace; cached device arrays must not be tracers
+    with jax.ensure_compile_time_eval(), jax.enable_x64(True):
         return _get_plan(sp, dest_is_row, at=at)
 
 

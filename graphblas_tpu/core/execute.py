@@ -40,6 +40,16 @@ def _blocking():
 
 
 def _run(key, fn, *dyn):
+    if _loop_tracing:
+        # inside ss.iterate's while_loop trace: call the implementation
+        # inline rather than through a nested jit.  Constants captured in a
+        # nested pjit's sub-jaxpr are invisible to jax.closure_convert and
+        # would be baked into the fused program as literals (a 9.4M-edge
+        # plan is ~160 MB of HLO literal, which overflows the remote
+        # compiler); inlining makes them outer-trace constvars, which
+        # closure_convert hoists into runtime arguments.
+        with jax.enable_x64(True):
+            return fn(*dyn)
     jf = _JIT_CACHE.get(key)
     if jf is None:
         jf = jax.jit(fn)
@@ -48,7 +58,7 @@ def _run(key, fn, *dyn):
         out = jf(*dyn)
     from . import _blocking as blocking_flag
 
-    if blocking_flag and not _loop_tracing:
+    if blocking_flag:
         jax.block_until_ready(out)
     return out
 

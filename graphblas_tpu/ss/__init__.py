@@ -140,6 +140,50 @@ def concat(tiles, dtype=None, *, name=None, **opts):
 _ITERATE_CACHE = {}
 
 
+def _captured_collections_token(body, cond):
+    """Identity token for every collection body/cond can see.
+
+    Walks closure cells and the referenced module globals (descending one
+    level into list/tuple/dict containers) and records the identity of
+    each collection's store arrays and sparse structure.  A collection
+    mutated in place between iterate calls therefore changes the token
+    and forces a re-trace (stale-capture fix, round-4 advisor finding)."""
+    from ..core.base import BaseType
+
+    toks = []
+
+    def add(obj, depth=0):
+        if isinstance(obj, BaseType):
+            # raw store attributes: the _vals/_valid properties densify
+            toks.append((id(obj), id(getattr(obj, "_d_vals", None)),
+                         id(getattr(obj, "_d_valid", None)),
+                         id(getattr(obj, "_sparse", None)),
+                         id(getattr(obj, "_dist", None))))
+        elif depth < 1 and isinstance(obj, (list, tuple)):
+            for v in obj:
+                add(v, depth + 1)
+        elif depth < 1 and isinstance(obj, dict):
+            for v in obj.values():
+                add(v, depth + 1)
+
+    for fn in (body, cond):
+        if fn is None:
+            continue
+        code = getattr(fn, "__code__", None)
+        if code is None:
+            continue
+        for cell in fn.__closure__ or ():
+            try:
+                add(cell.cell_contents)
+            except ValueError:  # empty cell
+                pass
+        g = getattr(fn, "__globals__", {})
+        for name in code.co_names:
+            if name in g:
+                add(g[name])
+    return tuple(toks)
+
+
 def iterate(body, state, *, cond=None, max_iter=64):
     """Run an algorithm loop entirely on device as ONE compiled program.
 
@@ -228,29 +272,54 @@ def iterate(body, state, *, cond=None, max_iter=64):
             jnp.ones((), bool))
 
     # compiled-loop cache: repeated calls with the same body/cond/state
-    # spec reuse the executable instead of re-tracing
+    # spec reuse the executable.  The key includes an identity token for
+    # every collection the body/cond capture (closure cells + referenced
+    # globals, one container level deep), so a collection mutated in
+    # place between calls — new store arrays, new sparse structure —
+    # forces a re-trace instead of silently replaying stale captured
+    # buffers (round-4 advisor finding).  The cache is a small LRU so
+    # long-lived processes don't pin dead closures and their device
+    # arrays forever.
     spec = tuple((name, state[name].dtype.name, state[name].shape)
                  for name in names)
-    ckey = (id(body), id(cond), spec, max_iter)
-    got = _ITERATE_CACHE.get(ckey)
+    ckey = (id(body), id(cond), spec, max_iter,
+            _captured_collections_token(body, cond))
     prev_blocking = _execute._loop_tracing
     _execute._loop_tracing = True
     try:
         with jax.enable_x64(True):
+            got = _ITERATE_CACHE.pop(ckey, None)
             if got is None:
                 def run(init):
                     return jax.lax.while_loop(cond_fn, body_fn, init)
 
                 # hoist every device array the body closes over (engine
-                # plan arrays etc.) into explicit arguments: an array baked
-                # into the program as a CONSTANT is read back to host at
-                # lowering, which permanently degrades the tunneled-TPU
-                # runtime (round-4 finding), and bloats the executable
-                conv, consts = jax.closure_convert(run, init)
-                jf = jax.jit(lambda init, consts: conv(init, *consts))
+                # plan arrays etc.) into explicit arguments: an array
+                # baked into the program as a CONSTANT bloats the
+                # executable (~160 MB of HLO literal for a 9.4M-edge
+                # plan, overflowing the remote compiler) and is read back
+                # to host at lowering, which permanently degrades the
+                # tunneled-TPU runtime (round-4 finding).
+                # jax.closure_convert does NOT lift concrete captures on
+                # this JAX version, so hoist via make_jaxpr: its
+                # top-level consts are exactly the captured arrays.
+                closed, out_shape = jax.make_jaxpr(
+                    run, return_shape=True)(init)
+                consts = closed.consts
+                out_tree = jax.tree_util.tree_structure(out_shape)
+                jaxpr = closed.jaxpr
+
+                def conv(init, consts):
+                    flat = jax.tree_util.tree_leaves(init)
+                    out_flat = jax.core.eval_jaxpr(jaxpr, consts, *flat)
+                    return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+                jf = jax.jit(conv)
                 # hold body/cond refs so the id()-based key stays live
                 got = (jf, consts, body, cond)
-                _ITERATE_CACHE[ckey] = got
+            _ITERATE_CACHE[ckey] = got
+            while len(_ITERATE_CACHE) > 16:
+                _ITERATE_CACHE.pop(next(iter(_ITERATE_CACHE)))
             jf, consts = got[0], got[1]
             i, arrays, _ = jf(init, consts)
     finally:

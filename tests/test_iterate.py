@@ -178,3 +178,38 @@ def test_iterate_matrix_state_msbfs(rng):
 
     gb.ss.iterate(body, {"Q": Q, "L": L}, cond=cond, max_iter=40)
     assert L.isequal(want)
+
+
+def test_iterate_recaptures_mutated_operands():
+    """A collection the body closes over, mutated in place between calls,
+    must be re-captured — not replayed from the first trace (round-4
+    advisor finding: the compiled-loop cache pinned stale closure
+    constants)."""
+    A = gb.Matrix.from_coo([0, 1, 2, 3], [1, 2, 3, 0], [4.0, 1.0, 2.0, 3.0],
+                           nrows=4, ncols=4)
+    ring = gb.semiring.plus_times["FP64"]
+
+    def body(s, i):
+        s["v"] << s["v"].vxm(A, ring)
+
+    st = {"v": gb.Vector.from_dense(np.ones(4))}
+    gb.ss.iterate(body, st, max_iter=1)
+    first = st["v"].to_coo()[1]
+    A << A.apply(gb.binary.times, right=10)
+    st = {"v": gb.Vector.from_dense(np.ones(4))}
+    gb.ss.iterate(body, st, max_iter=1)
+    second = st["v"].to_coo()[1]
+    assert np.allclose(np.asarray(second), 10 * np.asarray(first))
+
+
+def test_iterate_cache_bounded():
+    """The compiled-loop cache is a small LRU, not an unbounded pin."""
+    from graphblas_tpu.ss import _ITERATE_CACHE
+
+    for k in range(20):
+        st = {"v": gb.Vector.from_dense(np.ones(4))}
+        body = eval(f"lambda s, i, _k={k}: s['v'].__lshift__("
+                    "s['v'].apply(gb.unary.identity))",
+                    {"gb": gb})
+        gb.ss.iterate(body, st, max_iter=1)
+    assert len(_ITERATE_CACHE) <= 16
