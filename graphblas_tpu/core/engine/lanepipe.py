@@ -309,6 +309,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
     plan = {
         "R_g": R_g, "L": L, "R_scan": R_scan, "V": V, "n_out": n_out,
         "n_in": n_in, "nblocks_g": nblocks_g, "two_level": two_level,
+        "out_ok": deg > 0,
         "meta": meta,
         "locidx_g": locidx_g,
         "okg": okg,
@@ -341,8 +342,16 @@ def build_plan(d, k, vals_np, n_out, n_in):
 # --------------------------------------------------------------------- #
 # kernels
 def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
-                nblocks):
-    """Pallas gather+mult: (prods (R_g,128) z-carrier, okp (R_g,128) i32)."""
+                nblocks, packed=False, full_u=False):
+    """Pallas gather+mult.
+
+    Default: (prods (R_g,128) z-carrier with identity at invalid slots,
+    okp (R_g,128) i32).  packed=True (BOOL monoids) returns a single
+    channel of codes 0=invalid / 1+value, so validity rides the value
+    through route/scan/extract with no second channel.  full_u=True
+    asserts every u element is valid (guarded by the caller's lax.cond)
+    and skips the u-validity gather entirely.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -364,31 +373,41 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
             prods = dense.apply_binop(mult, x_in, u_dt, a_in, a_dt,
                                       context_map=dense._MATMUL_MAP)
         prods = st.cast_values(prods, mult.return_type, z_dt).astype(z_c)
+        if packed:
+            return jnp.where(ok, prods.astype(jnp.int32) + 1, 0)
         return jnp.where(ok, prods, ident_c)
 
     def kernel(meta_ref, uwin_ref, uokwin_ref, loc_ref, okg_ref, av_ref,
-               prods_ref, okp_ref):
+               prods_ref, okp_ref=None):
         i = pl.program_id(0)
         is_uni = meta_ref[i, 1] == 1
         hloc = meta_ref[i, 2]
         ut = uwin_ref[:].T
-        uot = uokwin_ref[:].T
         # uni path source: ONE window row broadcast over sublanes
         urow = jnp.broadcast_to(uwin_ref[pl.ds(hloc, 1), :], (128, 128))
-        uorow = jnp.broadcast_to(uokwin_ref[pl.ds(hloc, 1), :], (128, 128))
+        if not full_u:
+            uot = uokwin_ref[:].T
+            uorow = jnp.broadcast_to(uokwin_ref[pl.ds(hloc, 1), :],
+                                     (128, 128))
         for s in range(BR_G // 128):
             sl = slice(s * 128, (s + 1) * 128)
             ix = loc_ref[sl, :]
             g_gen = jnp.take_along_axis(ut, ix.T, axis=1).T
-            go_gen = jnp.take_along_axis(uot, ix.T, axis=1).T
             g_uni = jnp.take_along_axis(urow, ix, axis=1)
-            go_uni = jnp.take_along_axis(uorow, ix, axis=1)
             g = jnp.where(is_uni, g_uni, g_gen)
-            go = jnp.where(is_uni, go_uni, go_gen)
-            ok = (okg_ref[sl, :] != 0) & (go != 0)
+            if full_u:
+                ok = okg_ref[sl, :] != 0
+            else:
+                go_gen = jnp.take_along_axis(uot, ix.T, axis=1).T
+                go_uni = jnp.take_along_axis(uorow, ix, axis=1)
+                go = jnp.where(is_uni, go_uni, go_gen)
+                ok = (okg_ref[sl, :] != 0) & (go != 0)
             prods_ref[sl, :] = compute(av_ref[sl, :], g, ok)
-            okp_ref[sl, :] = ok.astype(jnp.int32)
+            if okp_ref is not None:
+                okp_ref[sl, :] = ok.astype(jnp.int32)
 
+    one_out = packed or full_u
+    z_out = jnp.int32 if packed else z_c
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -399,59 +418,87 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
         ],
-        out_specs=(
+        out_specs=pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)) if one_out
+        else (
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((R_g, 128), z_c),
-                   jax.ShapeDtypeStruct((R_g, 128), jnp.int32)),
+        out_shape=jax.ShapeDtypeStruct((R_g, 128), z_out) if one_out
+        else (jax.ShapeDtypeStruct((R_g, 128), z_c),
+              jax.ShapeDtypeStruct((R_g, 128), jnp.int32)),
         interpret=_INTERPRET,
     )(wbase, u2, u2ok, locidx, okg, avals)
+    if one_out:
+        return out, None
+    return out
 
 
 def lane_segscan(barrier, vals, ok, combine):
     """Sublane-direction segmented scan per lane with sequential carry.
 
     barrier/vals/ok: (R,128); segments restart where barrier is set.
-    Returns (scanned_vals, scanned_ok) with ok combined by max."""
+    Returns (scanned_vals, scanned_ok) with ok combined by max.  ok=None
+    scans the value channel alone (validity statically known or packed
+    into the values) and returns (scanned_vals, None)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R = barrier.shape[0]
+    with_h = ok is not None
 
-    def kernel(b_ref, v_ref, h_ref, ov_ref, oh_ref, vcar, hcar):
+    def kernel(b_ref, v_ref, *rest):
+        if with_h:
+            h_ref, ov_ref, oh_ref, vcar, hcar = rest
+        else:
+            ov_ref, vcar = rest
         i = pl.program_id(0)
         bb = b_ref[:] != 0
         v = v_ref[:]
-        h = h_ref[:]
         row = jax.lax.broadcasted_iota(jnp.int32, (BR_S, 128), 0)
         vc = jnp.where(i > 0, vcar[0, :], v[0, :])
-        hc = jnp.where(i > 0, hcar[0, :], h[0, :])
         first = row == 0
         v = jnp.where(first & ~bb & (i > 0),
                       combine(jnp.broadcast_to(vc.reshape(1, 128),
                                                (BR_S, 128)), v), v)
-        h = jnp.where(first & ~bb & (i > 0),
-                      jnp.maximum(jnp.broadcast_to(hc.reshape(1, 128),
-                                                   (BR_S, 128)), h), h)
+        if with_h:
+            h = h_ref[:]
+            hc = jnp.where(i > 0, hcar[0, :], h[0, :])
+            h = jnp.where(first & ~bb & (i > 0),
+                          jnp.maximum(jnp.broadcast_to(hc.reshape(1, 128),
+                                                       (BR_S, 128)), h), h)
         for s in [1 << j for j in range(BR_S.bit_length() - 1)]:
             s32 = jnp.int32(s)
             bsh = pltpu.roll(bb.astype(jnp.int32), s32, 0) != 0
             okm = row >= s
             v = jnp.where(bb | ~okm, v, combine(pltpu.roll(v, s32, 0), v))
-            h = jnp.where(bb | ~okm, h,
-                          jnp.maximum(pltpu.roll(h, s32, 0), h))
+            if with_h:
+                h = jnp.where(bb | ~okm, h,
+                              jnp.maximum(pltpu.roll(h, s32, 0), h))
             bb = bb | (okm & bsh)
         ov_ref[:] = v
-        oh_ref[:] = h
         vcar[0, :] = v[BR_S - 1, :]
-        hcar[0, :] = h[BR_S - 1, :]
+        if with_h:
+            oh_ref[:] = h
+            hcar[0, :] = h[BR_S - 1, :]
 
     spec = lambda: pl.BlockSpec((BR_S, 128), lambda i: (i, 0))  # noqa: E731
+    if not with_h:
+        out = pl.pallas_call(
+            kernel,
+            grid=(R // BR_S,),
+            in_specs=[spec(), spec()],
+            out_specs=spec(),
+            out_shape=jax.ShapeDtypeStruct((R, 128), vals.dtype),
+            scratch_shapes=[pltpu.VMEM((1, 128), vals.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_INTERPRET,
+        )(barrier, vals)
+        return out, None
     return pl.pallas_call(
         kernel,
         grid=(R // BR_S,),
@@ -472,6 +519,14 @@ def _segscan_xla(barrier, vals, ok, combine):
     """CPU/interpret-free fallback: same semantics via associative_scan
     down the sublane axis (per lane)."""
     b = barrier != 0
+    if ok is None:
+        def comb_v(left, right):
+            bl, vl = left
+            br, vr = right
+            return (bl | br, jnp.where(br, vr, combine(vl, vr)))
+
+        _, v = jax.lax.associative_scan(comb_v, (b, vals), axis=0)
+        return v, None
 
     def comb(left, right):
         bl, vl, hl = left
@@ -540,7 +595,7 @@ def _get_plan(spstore, dest_is_row, *, at=False):
         perms["ext2P"] = pm.build_perm_plan(plan["ext2"])
     dev = {}
     for name in ("meta", "locidx_g", "okg", "avals_g", "barrier", "oks",
-                 "bar2", "ok2"):
+                 "out_ok", "bar2", "ok2"):
         if name in plan:
             arr = plan[name]
             if arr.dtype == bool:
@@ -566,7 +621,7 @@ def _get_plan(spstore, dest_is_row, *, at=False):
 def plan_dyn_tuple(entry):
     d = entry["dev"]
     base = (d["meta"], d["locidx_g"], d["okg"], d["avals_g"], d["barrier"],
-            d["oks"], d["routeP"], d["extP"])
+            d["oks"], d["routeP"], d["extP"], d["out_ok"])
     if entry["two_level"]:
         return base + (d["bar2"], d["ok2"], d["ext2P"])
     return base
@@ -576,20 +631,34 @@ def plan_dyn_tuple(entry):
 # the traced pipeline
 def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
                   kind):
-    """(out_vals[n_out] in monoid dtype, out_valid[n_out])."""
-    (gmeta, locidx, okg, avals, barrier, oks, routeP, extP) = plan_dyn[:8]
+    """(out_vals[n_out] in monoid dtype, out_valid[n_out]).
+
+    Channel strategy (round-5): validity is only routed through the Clos
+    permutations when it is genuinely dynamic.  BOOL monoids pack
+    (validity, value) into one i32 code 0 / 1+value.  Other dtypes branch
+    on ``all(u_valid)`` with lax.cond: the full-validity branch (the
+    PageRank shape — dense rank vector every iteration) routes a single
+    value channel and takes the statically-known output structure
+    (deg>0); only the sparse-u branch pays the second channel.
+    """
+    (gmeta, locidx, okg, avals, barrier, oks, routeP, extP,
+     out_ok) = plan_dyn[:9]
     R_g = meta["R_g"]
     L = meta["L"]
-    R_scan = meta["R_scan"]
-    V = meta["V"]
     n_out = meta["n_out"]
     n_in = meta["n_in"]
     nblocks = meta["nblocks_g"]
+    two_level = meta["two_level"]
+    if two_level:
+        bar2, ok2, ext2P = plan_dyn[9:12]
+        L2 = meta["L2"]
+        R2 = meta["R2"]
     mult = ring.binaryop
     mono = ring.monoid
     z_dt = mono.type
     z_c = sp.carrier_dtype(z_dt.np_type)
     ident_c = np.array(mono.identity, z_dt.np_type).astype(np.dtype(z_c))
+    packed = np.dtype(z_dt.np_type).kind == "b"
 
     # dense u -> padded (Ru,128) carrier tables
     u_c = sp.carrier_dtype(u_dt.np_type)
@@ -600,12 +669,24 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     u2ok = jnp.concatenate([u_valid.astype(jnp.int32),
                             jnp.zeros(pad, jnp.int32)]).reshape(Ru, 128)
 
-    if _use_pallas():
-        with jax.enable_x64(False):
-            prods, okp = gather_mult(
-                (gmeta, locidx, okg, avals), u2, u2ok, mult, a_dt, u_dt,
-                mono, kind=kind, R_g=R_g, nblocks=nblocks)
-    else:
+    comb = sp.monoid_scan_fn(mono.parent.name, z_c)
+
+    def combine(a, b):
+        r = comb(a, b)
+        return r.astype(z_c) if r.dtype != a.dtype else r
+
+    def combine_packed(a, b):
+        # codes: 0 = no value, 1+v = value v; 0 is the packed identity
+        r = comb(a - 1, b - 1) + 1
+        return jnp.where(a == 0, b, jnp.where(b == 0, a, r))
+
+    def gather(want_packed, full_u):
+        if _use_pallas():
+            with jax.enable_x64(False):
+                return gather_mult(
+                    (gmeta, locidx, okg, avals), u2, u2ok, mult, a_dt,
+                    u_dt, mono, kind=kind, R_g=R_g, nblocks=nblocks,
+                    packed=want_packed, full_u=full_u)
         # XLA fallback (CPU correctness): flat gather of u at k per slot.
         # general block: k = (wb*128 + locidx)*128 + lane
         # uni block:     k = (wb*128 + hloc)*128 + locidx
@@ -619,8 +700,11 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
         kk = jnp.where(is_uni, kk_uni, kk_gen)
         kk = jnp.minimum(kk, Ru * 128 - 1)
         g = jnp.take(u2.reshape(-1), kk).reshape(R_g, 128)
-        go = jnp.take(u2ok.reshape(-1), kk).reshape(R_g, 128)
-        ok = (okg != 0) & (go != 0)
+        if full_u:
+            ok = okg != 0
+        else:
+            go = jnp.take(u2ok.reshape(-1), kk).reshape(R_g, 128)
+            ok = (okg != 0) & (go != 0)
         x_in = g.astype(u_dt.np_type)
         a_in = avals.astype(a_dt.np_type)
         if kind == "mxv":
@@ -630,67 +714,82 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
             p = dense.apply_binop(mult, x_in, u_dt, a_in, a_dt,
                                   context_map=dense._MATMUL_MAP)
         p = st.cast_values(p, mult.return_type, z_dt).astype(z_c)
-        prods = jnp.where(ok, p, ident_c)
-        okp = ok.astype(jnp.int32)
+        if want_packed:
+            return jnp.where(ok, p.astype(jnp.int32) + 1, 0), None
+        if full_u:
+            return jnp.where(ok, p, ident_c), None
+        return jnp.where(ok, p, ident_c), ok.astype(jnp.int32)
 
-    # route to S layout (Clos static permutation; permute.py)
-    pf = prods.reshape(-1)
-    hf = okp.reshape(-1)
-    if L > R_g * 128:
-        padn = L - R_g * 128
-        pf = jnp.concatenate([pf, jnp.full(padn, ident_c, z_c)])
-        hf = jnp.concatenate([hf, jnp.zeros(padn, jnp.int32)])
-    with jax.enable_x64(False):
-        pv2, ph_r = pm.apply_perm(
-            meta["permmeta"]["routeP"], routeP,
-            [pf.reshape(-1, 128), hf.reshape(-1, 128)],
-            use_pallas=_use_pallas(), interpret=_INTERPRET)
-    ph2 = (ph_r != 0) & (oks != 0)
-    pv2 = jnp.where(ph2, pv2, ident_c)
-    ph2 = ph2.astype(jnp.int32)
-    pv2 = jnp.where(ph2, pv2, ident_c)
-    ph2 = ph2.astype(jnp.int32)
-
-    comb = sp.monoid_scan_fn(mono.parent.name, z_c)
-
-    def combine(a, b):
-        r = comb(a, b)
-        return r.astype(z_c) if r.dtype != a.dtype else r
-
-    if _use_pallas():
+    def perm(P, name, arrs, out_limit=None):
         with jax.enable_x64(False):
-            s_v, s_h = lane_segscan(barrier, pv2, ph2, combine)
-    else:
-        s_v, s_h = _segscan_xla(barrier, pv2, ph2, combine)
+            return pm.apply_perm(meta["permmeta"][name], P, arrs,
+                                 use_pallas=_use_pallas(),
+                                 interpret=_INTERPRET, out_limit=out_limit)
 
-    with jax.enable_x64(False):
-        e_v, e_h = pm.apply_perm(
-            meta["permmeta"]["extP"], extP, [s_v, s_h],
-            use_pallas=_use_pallas(), interpret=_INTERPRET)
-    e_v = e_v.reshape(-1)
-    e_h = e_h.reshape(-1)
-
-    if meta["two_level"]:
-        bar2, ok2, ext2P = plan_dyn[8:11]
-        L2 = meta["L2"]
-        R2 = meta["R2"]
-        # ext ranks placed totals directly at their level-2 positions
-        tv2 = e_v[:L2].reshape(R2, 128)
-        th2 = ((e_h[:L2].reshape(R2, 128) != 0)
-               & (ok2.reshape(R2, 128) != 0))
-        tv2 = jnp.where(th2, tv2, ident_c)
-        th2 = th2.astype(jnp.int32)
+    def scan(bar, v, h, cmb):
         if _use_pallas():
             with jax.enable_x64(False):
-                s2v, s2h = lane_segscan(bar2, tv2, th2, combine)
-        else:
-            s2v, s2h = _segscan_xla(bar2, tv2, th2, combine)
-        with jax.enable_x64(False):
-            e_v, e_h = pm.apply_perm(
-                meta["permmeta"]["ext2P"], ext2P, [s2v, s2h],
-                use_pallas=_use_pallas(), interpret=_INTERPRET)
+                return lane_segscan(bar, v, h, cmb)
+        return _segscan_xla(bar, v, h, cmb)
+
+    def pad_to_L(x, fill, dtype):
+        x = x.reshape(-1)
+        if L > R_g * 128:
+            x = jnp.concatenate([x, jnp.full(L - R_g * 128, fill, dtype)])
+        return x.reshape(-1, 128)
+
+    def tail_single(pv2, cmb, fill):
+        """Scan + extract a single channel; returns flat e_v."""
+        s_v, _ = scan(barrier, pv2, None, cmb)
+        lim1 = L2 if two_level else n_out
+        e_v, = perm(extP, "extP", [s_v], out_limit=lim1)
+        e_v = e_v.reshape(-1)
+        if two_level:
+            tv2 = e_v[:L2].reshape(R2, 128)
+            tv2 = jnp.where(ok2.reshape(R2, 128) != 0, tv2, fill)
+            s2v, _ = scan(bar2, tv2, None, cmb)
+            e_v, = perm(ext2P, "ext2P", [s2v], out_limit=n_out)
+            e_v = e_v.reshape(-1)
+        return e_v
+
+    if packed:
+        codes, _ = gather(True, False)
+        cf = pad_to_L(codes, 0, jnp.int32)
+        pv2, = perm(routeP, "routeP", [cf])
+        e_v = tail_single(pv2, combine_packed, 0)
+        out = jnp.maximum(e_v[:n_out] - 1, 0).astype(z_dt.np_type)
+        return out, e_v[:n_out] > 0
+
+    def fast(_):
+        prods, _ = gather(False, True)
+        pf = pad_to_L(prods, ident_c, z_c)
+        pv2, = perm(routeP, "routeP", [pf])
+        e_v = tail_single(pv2, combine, ident_c)
+        return e_v[:n_out].astype(z_dt.np_type), out_ok[:n_out] != 0
+
+    def slow(_):
+        prods, okp = gather(False, False)
+        pf = pad_to_L(prods, ident_c, z_c)
+        hf = pad_to_L(okp, 0, jnp.int32)
+        pv2, ph_r = perm(routeP, "routeP", [pf, hf])
+        ph2 = (ph_r != 0) & (oks != 0)
+        pv2 = jnp.where(ph2, pv2, ident_c)
+        ph2 = ph2.astype(jnp.int32)
+        s_v, s_h = scan(barrier, pv2, ph2, combine)
+        lim1 = L2 if two_level else n_out
+        e_v, e_h = perm(extP, "extP", [s_v, s_h], out_limit=lim1)
         e_v = e_v.reshape(-1)
         e_h = e_h.reshape(-1)
+        if two_level:
+            tv2 = e_v[:L2].reshape(R2, 128)
+            th2 = ((e_h[:L2].reshape(R2, 128) != 0)
+                   & (ok2.reshape(R2, 128) != 0))
+            tv2 = jnp.where(th2, tv2, ident_c)
+            th2 = th2.astype(jnp.int32)
+            s2v, s2h = scan(bar2, tv2, th2, combine)
+            e_v, e_h = perm(ext2P, "ext2P", [s2v, s2h], out_limit=n_out)
+            e_v = e_v.reshape(-1)
+            e_h = e_h.reshape(-1)
+        return e_v[:n_out].astype(z_dt.np_type), e_h[:n_out] > 0
 
-    out = e_v[:n_out].astype(z_dt.np_type)
-    return out, e_h[:n_out] > 0
+    return jax.lax.cond(jnp.all(u_valid), fast, slow, None)

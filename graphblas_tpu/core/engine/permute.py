@@ -290,18 +290,28 @@ def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
     )(p, *arrs)
 
 
-def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None):
+def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
+               out_limit=None):
     """Permute each (R,128) array in arrs by the planned permutation.
 
     Returns a list of (R,128) arrays with out[pi[p]] = in[p] flatwise.
+    out_limit: only the first out_limit flat outputs are needed — stage C
+    (and the second exchange) run only over the destination tiles that
+    cover them, and the returned arrays have ceil(out_limit/16384)*128
+    rows.  Used by the lanepipe extract step, whose useful outputs (the
+    destination totals) are a small prefix of the permutation domain.
     """
     if use_pallas is None:
         use_pallas = _use_pallas()
     if interpret is None:
         interpret = _INTERPRET
-    if not use_pallas:
-        return _apply_xla(meta, dev, arrs)
     T, T_pad, T128 = meta["T"], meta["T_pad"], meta["T128"]
+    TV = T if out_limit is None else min(T, -(-out_limit // N_TILE))
+    if not use_pallas:
+        outs = _apply_xla(meta, dev, arrs)
+        if TV < T:
+            outs = [o[:TV * 128] for o in outs]
+        return outs
     pa, pb, pc = dev
     ys = _tile_perm_pallas(pa, arrs, interpret)
     if len(arrs) == 1:
@@ -315,8 +325,9 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None):
     zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
     if len(arrs) == 1:
         zs = [zs]
-    fin = [z[:, :T].T.reshape(-1, 128) for z in zs]
-    outs = _tile_perm_pallas(pc, fin, interpret)
+    fin = [z[:, :TV].T.reshape(-1, 128) for z in zs]
+    pcv = pc[:TV * 128] if TV < T else pc
+    outs = _tile_perm_pallas(pcv, fin, interpret)
     if len(arrs) == 1:
         outs = [outs]
     return list(outs)
