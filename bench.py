@@ -16,27 +16,24 @@ builds the graph, and the timed loops are the reference notebook workloads
 The sparse engine executes the vxm via the lane-aligned Pallas pipeline
 (graphblas_tpu/core/engine/lanepipe.py).
 
-Measurement semantics (round-4 finding, tools/ubench_lanepipe.py and
-/tmp probes recorded in PROGRESS): on this environment's tunneled "axon"
-TPU backend, ``jax.block_until_ready`` acknowledges ENQUEUE, not
-completion — execution is deferred until a device->host read, and once a
-read happens the runtime switches to a synchronous mode costing ~29 ms
-per SpMV-sized program execution (per-op RPC overhead), independent of
-how iterations are packaged (eager, fori_loop, while_loop all measure
-~29 ms/iter honestly).  True device kernel time is therefore
-unobservable through the tunnel.  This bench reports BOTH protocols:
+Measurement semantics (corrected round 5; the round-4 theory that "~29 ms
+per program execution is service overhead independent of how iterations
+are packaged" was FALSIFIED by the round-4 judge's probes and our own:
+a fori_loop of 50 chained 2048^2 matmuls plus one forced scalar read
+completes in 29 ms TOTAL, so fused loops run at device speed and the
+~30 ms floor is paid once per device->host read, not per program):
 
-- ``pr_ms_per_iter`` / the headline GnnZ/s use the standard JAX
-  block_until_ready idiom on the eager loop (correct on real TPU
-  hardware, and the same meter used by rounds 1-3, so the series is
-  comparable);
-- ``pr_fused_ms_per_iter`` runs the whole sweep as one device program
-  (gb.ss.iterate) and ``pr_forced_ms_per_iter`` additionally forces
-  evaluation with a scalar read inside the timed region; both come out
-  ~29 ms/iteration on this tunnel — the per-iteration service overhead,
-  not device time (they would be the FASTEST numbers on real hardware);
+- **Headline** = ``pr_forced_gnnz_s``: the whole power sweep fused into
+  ONE device program (gb.ss.iterate) with a forced scalar read inside
+  the timed region, iterations scaled up so the one-time read floor
+  (~30 ms) and dispatch cost amortize below the per-iteration noise.
+  This is honest device throughput.
+- ``pr_ms_per_iter`` (eager loop + block_until_ready) measures Python
+  dispatch + enqueue rate on this tunneled backend — kept only as a
+  dispatch-overhead diagnostic and for continuity with the rounds 1-4
+  series, which measured exactly this.
 - BFS numbers are always evaluation-forced by construction (the loop's
-  device-side termination reduce) and so are tunnel-honest.
+  device-side termination reduce).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.  The
 reference publishes no numbers (BASELINE.md), so vs_baseline is 1.0.
@@ -163,34 +160,40 @@ def bench_workloads(gb, src, dst, n, iters, tag, detail):
     pr_gnnz = nnz / best_eager / 1e9
     detail[tag + "pr_gnnz_s"] = round(pr_gnnz, 3)
 
+    iters_f = max(iters, int(os.environ.get("BENCH_FUSED_ITERS", 400)))
+
     def fused_pr():
         # fused loop: the whole power sweep is ONE device program
         t0 = time.perf_counter()
-        gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
+        gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters_f)
         rank.wait(how="complete")
         detail[tag + "pr_fused_compile_s"] = round(
             time.perf_counter() - t0, 1)
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
+            gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters_f)
             rank.wait(how="complete")
-            best = min(best, (time.perf_counter() - t0) / iters)
+            best = min(best, (time.perf_counter() - t0) / iters_f)
         detail[tag + "pr_fused_ms_per_iter"] = round(best * 1e3, 3)
         _log(f"{tag}pr fused {best*1e3:.3f} ms/iter")
 
     deferred.append(fused_pr)
 
     def forced_pr():
-        # tunnel-honest: force evaluation with a device->host read inside
-        # the timed region (see module docstring)
-        t0 = time.perf_counter()
-        gb.ss.iterate(pr_body, {"rank": rank, "y": y}, max_iter=iters)
-        float(np.asarray(rank[0].new().value))
-        forced = (time.perf_counter() - t0) / iters
-        detail[tag + "pr_forced_ms_per_iter"] = round(forced * 1e3, 3)
-        detail[tag + "pr_forced_gnnz_s"] = round(nnz / forced / 1e9, 4)
-        _log(f"{tag}pr forced {forced*1e3:.3f} ms/iter")
+        # the HEADLINE protocol: one fused device program, evaluation
+        # forced by a device->host read inside the timed region; enough
+        # iterations that the one-time ~30 ms read floor amortizes out
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            gb.ss.iterate(pr_body, {"rank": rank, "y": y},
+                          max_iter=iters_f)
+            float(np.asarray(rank[0].new().value))
+            best = min(best, (time.perf_counter() - t0) / iters_f)
+        detail[tag + "pr_forced_ms_per_iter"] = round(best * 1e3, 3)
+        detail[tag + "pr_forced_gnnz_s"] = round(nnz / best / 1e9, 4)
+        _log(f"{tag}pr forced {best*1e3:.3f} ms/iter")
 
     deferred.append(forced_pr)
 
@@ -336,9 +339,17 @@ def main():
         detail["deferred_errors"] = errs
 
     detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+    # headline: the device-honest forced/fused number (round-4 VERDICT
+    # item #2); the eager enqueue-rate number stays in detail only
+    value = detail.get("pr_forced_gnnz_s", 0.0)
+    metric = ("PageRank plus_times SpMV device throughput "
+              "(fused loop, forced evaluation) via library API")
+    if not value:
+        value = round(pr_gnnz, 4)
+        metric = "PageRank SpMV enqueue rate (forced protocol failed)"
     result = {
-        "metric": "PageRank plus_times SpMV throughput via library API",
-        "value": round(pr_gnnz, 4),
+        "metric": metric,
+        "value": value,
         "unit": "GnnZ/s",
         "vs_baseline": 1.0,
         "detail": detail,

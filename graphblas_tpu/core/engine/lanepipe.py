@@ -1,29 +1,33 @@
 """Lane-aligned SpMV engine: the round-4 TPU hot path for semiring matvec.
 
 Replaces the sort-pipeline's 6 radix sorts per matvec
-(core/engine/sortpipe.py) with a static-layout formulation built on the two
-primitives this TPU generation executes at memory bandwidth (measured in
-tools/ubench_lanepipe.py):
+(core/engine/sortpipe.py) with a static-layout formulation built on the
+primitives this TPU generation executes at speed (measured in
+tools/ubench_lanepipe.py and tools/probe_tileperm*.py):
 
 - in-register lane gather: ``jnp.take_along_axis(t, ix, axis=1)`` over a
-  (128,128) tile (~90 Gelem/s), which combined with two VPU transposes
+  (128,128) tile (~200 Gelem/s), which combined with VPU transposes
   emulates a *sublane* gather ``t[idx[r,l], l]``;
-- permutation-keyed ``lax.sort`` (distinct i32 keys hit XLA's fast path).
+- 3-stage Clos static permutations (engine/permute.py) for the global
+  route/extract data movement (~0.3 ms at 4.3M elements vs ~42 ms for
+  the round-4 permutation-keyed ``lax.sort``).
 
 The matvec  out[d] = monoid_k mult(A[d,k], u[k])  becomes:
 
-1. **gather+mult (Pallas, G layout)**: edges are placed at static slots with
-   ``lane = k % 128``, grouped into blocks whose contraction indices fall in
-   one 16384-wide aligned window; the per-block u-window (128,128) is DMA'd
-   via a scalar-prefetch index map, and ``u[k]`` is read with the
-   transpose-gather.  Products are computed edgewise with the typed
-   multiply and invalid slots forced to the monoid identity.
-2. **route (one permutation sort)**: products move to the S layout —
-   destination-major runs within a plan-chosen lane per destination.
+1. **gather+mult (Pallas, G layout)**: edges are grouped into blocks
+   whose contraction indices fall in one 16384-wide aligned window; the
+   per-block u-window (128,128) is DMA'd via a scalar-prefetch index map
+   and ``u[k]`` is read with two lane gathers through a per-block column
+   map (see build_plan's G-layout comment).  Products are computed
+   edgewise with the typed multiply and invalid slots forced to the
+   monoid identity.
+2. **route (static Clos permutation, engine/permute.py)**: products move
+   to the S layout — destination-major runs within a plan-chosen lane
+   per destination.
 3. **reduce (Pallas, S layout)**: a sublane-direction segmented scan per
    lane folds each destination's run with the monoid (sequential block
    carry keeps the fold order deterministic).
-4. **extract (permutation sort)**: destination totals (at static
+4. **extract (static Clos permutation)**: destination totals (at static
    last-of-run slots) compact into natural dest order.
 
 Skew handling: destinations with more than ``SPLIT_DEG`` edges are split
@@ -59,8 +63,6 @@ BR_S = 512      # scan-kernel sublanes per block
 WINDOW_K = 16384  # contraction span per gather block (128 u2 rows x 128)
 SPLIT_DEG = 2048  # max edges per (virtual) destination run
 PACK_LIMIT = 2.5  # max allowed padded-slots/nnz ratio before fallback
-UNI_TOTAL = 16384  # a 128-wide k-group this heavy gets its own uni blocks
-UNI_COL = 2048     # ... or containing one k this hot (lane-buster)
 
 # test hook: run the Pallas kernels in interpret mode on CPU
 _INTERPRET = False
@@ -98,90 +100,98 @@ def build_plan(d, k, vals_np, n_out, n_in):
     d = d.astype(np.int64)
     k = k.astype(np.int64)
 
-    # ---- G layout.  Two block kinds (the "uni" kind absorbs contraction
-    # skew — power-law k-degrees would otherwise concentrate one lane):
-    # - general (kind 0): edges grouped by a 16384-wide ALIGNED k-window,
-    #   placed at lane k % 128 with locidx = (k >> 7) & 127; the kernel
-    #   transpose-gathers u from the (128,128) window.
-    # - uni (kind 1): all edges of ONE 128-wide k-group (``ch = k >> 7``);
-    #   lane-free full packing with locidx = k & 127; the kernel broadcasts
-    #   the single u2 row and lane-gathers, so a hot destination-of-k
-    #   cannot unbalance lanes.
-    ch = k >> 7
-    cnt_ch = np.bincount(ch)
-    cnt_col = np.bincount(k)
-    maxcol_ch = np.zeros(len(cnt_ch), np.int64)
-    np.maximum.at(maxcol_ch, k >> 7, cnt_col[k])
-    is_uni_ch = (cnt_ch >= UNI_TOTAL) | (maxcol_ch >= UNI_COL)
-    uni_mask = is_uni_ch[ch]
-
+    # ---- G layout (round-5 unified window-gather blocks).  Every edge
+    # needs u[k]; k = w*16384 + a*128 + b (w = 16384-aligned window,
+    # a = window row, b = window column).  A block covers ONE window and
+    # carries a column map idx1[a, lane]: within a (block, lane) pair all
+    # edges sharing window-row a must reference the SAME column b — i.e.
+    # a lane hosts at most one distinct k per window row, with arbitrary
+    # multiplicity and free row placement.  The kernel then reads u with
+    # two lane gathers (z[a,l] = w[a, idx1[a,l]]; g[r,l] = z[arow[r,l],
+    # l]).  Packing becomes layered bin-packing over (distinct-k chunks),
+    # which absorbs power-law contraction skew: a hot k costs ONE column
+    # slot per lane regardless of multiplicity (the round-4 design needed
+    # a separate "uni" block kind for this and still rejected RMAT at a
+    # 12.8x padding ratio; this layout packs it at ~1.1x).
+    so = np.argsort(k, kind="stable")
+    k_s = k[so]
+    run_k = _run_index(k_s)
+    chunk_in_k = run_k // BR_G
+    # chunk boundaries: new k or new chunk within k
+    is_start = np.r_[True, (np.diff(k_s) != 0) | (np.diff(chunk_in_k) != 0)]
+    chunk_id = np.cumsum(is_start) - 1
+    starts = np.flatnonzero(is_start)
+    c_k = k_s[starts]
+    c_cnt = np.diff(np.r_[starts, m])
+    c_w = c_k >> 14
+    c_a = (c_k >> 7) & 127
+    c_b = c_k & 127
+    # rank chunks within (window, a-row) by count desc -> layer j;
+    # lane = (j + salt[a]) % 128 spreads heavy layers across lanes
+    ordc = np.lexsort((-c_cnt, c_a, c_w))
+    key_wa = (c_w[ordc] << 7) | c_a[ordc]
+    j_rank = _run_index(key_wa)
+    salt = np.random.default_rng(0).permutation(128)
+    lane_c = np.empty(len(c_k), np.int64)
+    lane_c[ordc] = (j_rank + salt[c_a[ordc]]) % 128
+    # page chunks into blocks: per (window, lane) in layer order, greedy
+    # fill <= BR_G rows with at most one chunk per window-row a
+    ordp = np.lexsort((j_rank, lane_c[ordc], c_w[ordc]))
+    seq = ordc[ordp]  # chunk ids grouped by (window, lane), layer asc
+    page = np.empty(len(c_k), np.int64)
+    rowfill = np.empty(len(c_k), np.int64)
+    uwins, win_of_chunk = np.unique(c_w, return_inverse=True)
+    blocks_per_win = np.zeros(len(uwins), np.int64)
+    cw_seq = c_w[seq]
+    lane_seq = lane_c[seq]
+    cnt_seq = c_cnt[seq]
+    a_seq = c_a[seq]
+    cur_w = cur_l = -1
+    pg = fill = 0
+    abits = 0
+    for i in range(len(seq)):
+        if cw_seq[i] != cur_w or lane_seq[i] != cur_l:
+            cur_w, cur_l = cw_seq[i], lane_seq[i]
+            pg, fill, abits = 0, 0, 0
+        cnt = cnt_seq[i]
+        bit = 1 << int(a_seq[i])
+        if fill + cnt > BR_G or (abits & bit):
+            pg += 1
+            fill = 0
+            abits = 0
+        page[seq[i]] = pg
+        rowfill[seq[i]] = fill
+        fill += cnt
+        abits |= bit
+    if len(seq):
+        np.maximum.at(blocks_per_win, win_of_chunk, page + 1)
+    block_base_w = np.r_[0, np.cumsum(blocks_per_win)]
+    nblocks_g = max(int(block_base_w[-1]), 1)
     slots_per_block = BR_G * 128
-
-    # uni part: per uni-ch, consecutive full blocks
-    ku = k[uni_mask]
-    so_u = np.argsort(ku, kind="stable")
-    ku = ku[so_u]
-    run_u = _run_index(ku >> 7)
-    uch, uch_inv = np.unique(ku >> 7, return_inverse=True)
-    blocks_per_uch = -(-np.bincount(uch_inv) // slots_per_block)
-    ublock_base = np.r_[0, np.cumsum(blocks_per_uch)]
-    n_uni_blocks = int(ublock_base[-1])
-    ublk = ublock_base[uch_inv] + run_u // slots_per_block
-    uoff = run_u % slots_per_block
-
-    # general part: per-window per-lane fills
-    kg = k[~uni_mask]
-    w = kg >> 14
-    lane_g = kg & 127
-    so_g = np.lexsort((lane_g, w))
-    grp = (w[so_g] << 7) | lane_g[so_g]
-    run_g = _run_index(grp)
-    uw, w_inv = np.unique(w[so_g], return_inverse=True)
-    nw = len(uw)
-    cnt_wl = np.zeros((max(nw, 1), 128), np.int64)
-    if len(so_g):
-        np.add.at(cnt_wl, (w_inv, lane_g[so_g]), 1)
-    blocks_per_w = -(-cnt_wl.max(axis=1) // BR_G)
-    block_base_w = np.r_[0, np.cumsum(blocks_per_w)]
-    n_gen_blocks = int(block_base_w[-1]) if nw else 0
-
-    nblocks_g = n_uni_blocks + n_gen_blocks
-    if nblocks_g == 0:
-        nblocks_g = 1
     if nblocks_g * slots_per_block > PACK_LIMIT * m + 4 * slots_per_block:
         return None
     R_g = nblocks_g * BR_G
     L_g = R_g * 128
 
-    # block metadata: (u2 row-block, kind, row-within-window for uni)
     meta = np.zeros((nblocks_g, 3), np.int32)
-    if n_uni_blocks:
-        ub = np.zeros(n_uni_blocks, np.int32)
-        ub[ublock_base[:-1]] = 1
-        uch_of_block = uch[np.cumsum(ub) - 1]
-        meta[:n_uni_blocks, 0] = uch_of_block >> 7
-        meta[:n_uni_blocks, 1] = 1
-        meta[:n_uni_blocks, 2] = uch_of_block & 127
-    if n_gen_blocks:
-        gb_ = np.zeros(n_gen_blocks, np.int32)
-        gb_[block_base_w[:-1]] = 1
-        meta[n_uni_blocks:, 0] = uw[np.cumsum(gb_) - 1].astype(np.int32)
+    meta[:, 0] = np.repeat(uwins, blocks_per_win).astype(np.int32) \
+        if len(uwins) else 0
+    c_blk = block_base_w[win_of_chunk] + page
 
+    idx1_g = np.zeros((nblocks_g * 128, 128), np.int32)
+    idx1_g[c_blk * 128 + c_a, lane_c] = c_b
     locidx_g = np.zeros((R_g, 128), np.int32)
     okg = np.zeros((R_g, 128), bool)
     avals_g = np.zeros((R_g, 128), vals_np.dtype)
 
+    # edge slots: chunk rows stacked at rowfill..rowfill+cnt-1
+    e_chunk = chunk_id  # per sorted edge
+    e_row_in_chunk = np.arange(m) - starts[e_chunk]
+    e_sub = rowfill[e_chunk] + e_row_in_chunk
+    s_g = ((c_blk[e_chunk] * BR_G + e_sub) * 128 + lane_c[e_chunk])
     gslot = np.empty(m, np.int64)
-    if len(so_u):
-        s_u = ublk * slots_per_block + uoff
-        gslot[np.flatnonzero(uni_mask)[so_u]] = s_u
-        locidx_g.reshape(-1)[s_u] = ku & 127
-    if len(so_g):
-        blk = n_uni_blocks + block_base_w[w_inv] + run_g // BR_G
-        sub = run_g % BR_G
-        s_g = (blk * BR_G + sub) * 128 + lane_g[so_g]
-        gslot[np.flatnonzero(~uni_mask)[so_g]] = s_g
-        locidx_g.reshape(-1)[s_g] = (kg[so_g] >> 7) & 127
+    gslot[so] = s_g
+    locidx_g.reshape(-1)[s_g] = c_a[e_chunk]
     okg.reshape(-1)[gslot] = True
     avals_g.reshape(-1)[gslot] = vals_np
 
@@ -311,6 +321,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
         "n_in": n_in, "nblocks_g": nblocks_g, "two_level": two_level,
         "out_ok": deg > 0,
         "meta": meta,
+        "idx1_g": idx1_g,
         "locidx_g": locidx_g,
         "okg": okg,
         "avals_g": avals_g,
@@ -355,7 +366,7 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    wbase, locidx, okg, avals = plan_g
+    wbase, idx1, locidx, okg, avals = plan_g
     z_dt = mono.type
     z_c = sp.carrier_dtype(z_dt.np_type)
     # host literal, not a device array: pallas kernels cannot capture
@@ -377,30 +388,23 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
             return jnp.where(ok, prods.astype(jnp.int32) + 1, 0)
         return jnp.where(ok, prods, ident_c)
 
-    def kernel(meta_ref, uwin_ref, uokwin_ref, loc_ref, okg_ref, av_ref,
-               prods_ref, okp_ref=None):
-        i = pl.program_id(0)
-        is_uni = meta_ref[i, 1] == 1
-        hloc = meta_ref[i, 2]
-        ut = uwin_ref[:].T
-        # uni path source: ONE window row broadcast over sublanes
-        urow = jnp.broadcast_to(uwin_ref[pl.ds(hloc, 1), :], (128, 128))
+    def kernel(meta_ref, uwin_ref, uokwin_ref, idx1_ref, loc_ref, okg_ref,
+               av_ref, prods_ref, okp_ref=None):
+        # z[a, l] = u-window[a, idx1[a, l]]: the one distinct k this lane
+        # references at window-row a; then per slot g[r, l] = z[arow, l]
+        z = jnp.take_along_axis(uwin_ref[:], idx1_ref[:], axis=1)
+        zT = z.T
         if not full_u:
-            uot = uokwin_ref[:].T
-            uorow = jnp.broadcast_to(uokwin_ref[pl.ds(hloc, 1), :],
-                                     (128, 128))
+            zo = jnp.take_along_axis(uokwin_ref[:], idx1_ref[:], axis=1)
+            zoT = zo.T
         for s in range(BR_G // 128):
             sl = slice(s * 128, (s + 1) * 128)
-            ix = loc_ref[sl, :]
-            g_gen = jnp.take_along_axis(ut, ix.T, axis=1).T
-            g_uni = jnp.take_along_axis(urow, ix, axis=1)
-            g = jnp.where(is_uni, g_uni, g_gen)
+            arow = loc_ref[sl, :]
+            g = jnp.take_along_axis(zT, arow.T, axis=1).T
             if full_u:
                 ok = okg_ref[sl, :] != 0
             else:
-                go_gen = jnp.take_along_axis(uot, ix.T, axis=1).T
-                go_uni = jnp.take_along_axis(uorow, ix, axis=1)
-                go = jnp.where(is_uni, go_uni, go_gen)
+                go = jnp.take_along_axis(zoT, arow.T, axis=1).T
                 ok = (okg_ref[sl, :] != 0) & (go != 0)
             prods_ref[sl, :] = compute(av_ref[sl, :], g, ok)
             if okp_ref is not None:
@@ -414,6 +418,7 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
         in_specs=[
             pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
             pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
+            pl.BlockSpec((128, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
             pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
@@ -431,7 +436,7 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
         else (jax.ShapeDtypeStruct((R_g, 128), z_c),
               jax.ShapeDtypeStruct((R_g, 128), jnp.int32)),
         interpret=_INTERPRET,
-    )(wbase, u2, u2ok, locidx, okg, avals)
+    )(wbase, u2, u2ok, idx1, locidx, okg, avals)
     if one_out:
         return out, None
     return out
@@ -594,8 +599,8 @@ def _get_plan(spstore, dest_is_row, *, at=False):
     if plan["two_level"]:
         perms["ext2P"] = pm.build_perm_plan(plan["ext2"])
     dev = {}
-    for name in ("meta", "locidx_g", "okg", "avals_g", "barrier", "oks",
-                 "out_ok", "bar2", "ok2"):
+    for name in ("meta", "idx1_g", "locidx_g", "okg", "avals_g", "barrier",
+                 "oks", "out_ok", "bar2", "ok2"):
         if name in plan:
             arr = plan[name]
             if arr.dtype == bool:
@@ -620,8 +625,8 @@ def _get_plan(spstore, dest_is_row, *, at=False):
 
 def plan_dyn_tuple(entry):
     d = entry["dev"]
-    base = (d["meta"], d["locidx_g"], d["okg"], d["avals_g"], d["barrier"],
-            d["oks"], d["routeP"], d["extP"], d["out_ok"])
+    base = (d["meta"], d["idx1_g"], d["locidx_g"], d["okg"], d["avals_g"],
+            d["barrier"], d["oks"], d["routeP"], d["extP"], d["out_ok"])
     if entry["two_level"]:
         return base + (d["bar2"], d["ok2"], d["ext2P"])
     return base
@@ -641,8 +646,8 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     value channel and takes the statically-known output structure
     (deg>0); only the sparse-u branch pays the second channel.
     """
-    (gmeta, locidx, okg, avals, barrier, oks, routeP, extP,
-     out_ok) = plan_dyn[:9]
+    (gmeta, idx1, locidx, okg, avals, barrier, oks, routeP, extP,
+     out_ok) = plan_dyn[:10]
     R_g = meta["R_g"]
     L = meta["L"]
     n_out = meta["n_out"]
@@ -650,7 +655,7 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     nblocks = meta["nblocks_g"]
     two_level = meta["two_level"]
     if two_level:
-        bar2, ok2, ext2P = plan_dyn[9:12]
+        bar2, ok2, ext2P = plan_dyn[10:13]
         L2 = meta["L2"]
         R2 = meta["R2"]
     mult = ring.binaryop
@@ -684,20 +689,18 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
         if _use_pallas():
             with jax.enable_x64(False):
                 return gather_mult(
-                    (gmeta, locidx, okg, avals), u2, u2ok, mult, a_dt,
-                    u_dt, mono, kind=kind, R_g=R_g, nblocks=nblocks,
+                    (gmeta, idx1, locidx, okg, avals), u2, u2ok, mult,
+                    a_dt, u_dt, mono, kind=kind, R_g=R_g, nblocks=nblocks,
                     packed=want_packed, full_u=full_u)
-        # XLA fallback (CPU correctness): flat gather of u at k per slot.
-        # general block: k = (wb*128 + locidx)*128 + lane
-        # uni block:     k = (wb*128 + hloc)*128 + locidx
-        loc = locidx.reshape(-1).astype(jnp.int64)
+        # XLA fallback (CPU correctness): flat gather of u at k per slot:
+        # k = wb*16384 + arow*128 + idx1[blk, arow, lane]
+        arow = locidx.reshape(-1).astype(jnp.int64)
         wb_rows = jnp.repeat(gmeta[:, 0].astype(jnp.int64), BR_G * 128)
-        is_uni = jnp.repeat(gmeta[:, 1].astype(jnp.int64), BR_G * 128) == 1
-        hloc = jnp.repeat(gmeta[:, 2].astype(jnp.int64), BR_G * 128)
+        blk = jnp.repeat(jnp.arange(nblocks, dtype=jnp.int64), BR_G * 128)
         lanes = jnp.tile(jnp.arange(128), R_g)
-        kk_gen = (wb_rows * 128 + loc) * 128 + lanes
-        kk_uni = (wb_rows * 128 + hloc) * 128 + loc
-        kk = jnp.where(is_uni, kk_uni, kk_gen)
+        b_col = jnp.take(idx1.reshape(-1).astype(jnp.int64),
+                         (blk * 128 + arow) * 128 + lanes)
+        kk = wb_rows * 16384 + arow * 128 + b_col
         kk = jnp.minimum(kk, Ru * 128 - 1)
         g = jnp.take(u2.reshape(-1), kk).reshape(R_g, 128)
         if full_u:

@@ -628,7 +628,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
             return spx.select_op(a, False, op, src_dt, dyn[1], out_dtype)
 
         nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
-        key = ("sparse_out", expr._key(), out_dtype)
+        key = ("sparse_out", "apply", expr._key(), expr._shape, out_dtype)
         out_dyn = _run(key, fn, *expr._dyn())
         return sp.with_store(out_dyn, same_structure=not tflag,
                              nrows=nrows, ncols=ncols)
@@ -657,7 +657,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
 
             nrows, ncols = ((o_sp.ncols, o_sp.nrows) if tflag
                             else (o_sp.nrows, o_sp.ncols))
-            key = ("sparse_out", expr._key(), out_dtype)
+            key = ("sparse_out", "mxm_diag", expr._key(), expr._shape, out_dtype)
             out_dyn = _run(key, fn, *expr._dyn())
             return o_sp.with_store(out_dyn, same_structure=not tflag,
                                    nrows=nrows, ncols=ncols)
@@ -676,7 +676,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
                                         rows, cols, out_nrows, out_ncols)
             return spx.cast_copy(out, a_dt, out_dtype)
 
-        key = ("sparse_out", expr._key(), out_dtype)
+        key = ("sparse_out", "extract", expr._key(), expr._shape, out_dtype)
         out_dyn = _run(key, fn, *expr._dyn())
         out_sp = spx.SparseStore(*out_dyn, out_nrows, out_ncols)
         return _maybe_compact(out_sp)
@@ -701,7 +701,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
             return _cast(out)
 
         nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
-        key = ("sparse_out", expr._key(), out_dtype)
+        key = ("sparse_out", "ew_bcast", expr._key(), expr._shape, out_dtype)
         out_dyn = _run(key, fn, *expr._dyn())
         return sp.with_store(out_dyn, same_structure=not tflag,
                              nrows=nrows, ncols=ncols)
@@ -722,7 +722,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
             return _cast(out)
 
         nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
-        key = ("sparse_out", expr._key(), out_dtype)
+        key = ("sparse_out", "ew_same", expr._key(), expr._shape, out_dtype)
         out_dyn = _run(key, fn, *expr._dyn())
         return sp.with_store(out_dyn, same_structure=not tflag,
                              nrows=nrows, ncols=ncols)
@@ -748,7 +748,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
             return _cast(out)
 
         nrows, ncols = ((sp.ncols, sp.nrows) if tflag else (sp.nrows, sp.ncols))
-        key = ("sparse_out", expr._key(), out_dtype)
+        key = ("sparse_out", "ew_spdense", expr._key(), expr._shape, out_dtype)
         out_dyn = _run(key, fn, *expr._dyn())
         return sp.with_store(out_dyn, same_structure=not tflag,
                              nrows=nrows, ncols=ncols)
@@ -767,7 +767,7 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
                               a_dt, b_dt, z_dt, lr=lr)
         return _cast(out)
 
-    key = ("sparse_out", expr._key(), out_dtype)
+    key = ("sparse_out", "ew_merge", expr._key(), expr._shape, out_dtype)
     out_dyn = _run(key, fn, *expr._dyn())
     out_sp = spx.SparseStore(*out_dyn, nrows, ncols)
     return _maybe_compact(out_sp)

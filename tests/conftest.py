@@ -51,6 +51,20 @@ def pytest_configure(config):
         import graphblas_tpu as gb
 
         gb.config["auto_sparse_limit"] = 0
+    # --blocking axis (reference conftest.py:20-91 randomizes its blocking
+    # mode per run): explicit flag forces blocking init; otherwise pick
+    # randomly so both dispatch modes accumulate coverage across runs
+    blocking = config.getoption("blocking")
+    if blocking is None:
+        blocking = bool(np.random.default_rng().integers(2))
+    import graphblas_tpu as gb
+
+    gb.init(blocking=bool(blocking))
+    config._gb_blocking = bool(blocking)
+
+
+def pytest_report_header(config):
+    return f"graphblas_tpu: blocking={getattr(config, '_gb_blocking', None)}"
 
 
 def pytest_collection_modifyitems(config, items):

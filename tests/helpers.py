@@ -60,3 +60,49 @@ def gb_from_pair(vals, ok):
     r, c = np.nonzero(ok)
     return gb.Matrix.from_coo(r, c, vals[r, c], nrows=vals.shape[0],
                               ncols=vals.shape[1], dtype=vals.dtype)
+
+
+# ------------------------------------------------------------------ #
+# write-semantics oracle: the full C(mask, accum, replace) << Z rule
+# (reference semantics per SURVEY Appendix A: masks filter writes,
+# replace clears unwritten, accum merges old/new)
+def oracle_mask_array(mask_vals, mask_ok, *, structure, complement):
+    m = mask_ok if structure else (mask_ok & (mask_vals != 0))
+    return ~m if complement else m
+
+
+def oracle_update(c_vals, c_ok, z_vals, z_ok, mask=None, *, accum=None,
+                  replace=False):
+    """Dense-pair oracle for the update rule.
+
+    mask: boolean write-permission array (already structure/value/
+    complement resolved) or None.  accum: binary f(old, new) or None.
+    Returns (vals, ok) of the updated C.
+    """
+    c_vals = np.array(c_vals)
+    c_ok = np.array(c_ok)
+    if mask is None:
+        mask = np.ones(c_ok.shape, bool)
+    if accum is None:
+        new_vals = np.where(z_ok, z_vals, 0)
+        new_ok = z_ok.copy()
+    else:
+        both = c_ok & z_ok
+        new_vals = np.where(both, accum(c_vals, z_vals),
+                            np.where(z_ok, z_vals, c_vals))
+        new_ok = c_ok | z_ok
+    out_vals = np.where(mask, new_vals, c_vals)
+    out_ok = np.where(mask, new_ok,
+                      np.zeros_like(c_ok) if replace else c_ok)
+    return np.where(out_ok, out_vals, 0), out_ok
+
+
+def assert_pair_equal(x, exp_vals, exp_ok, *, isfloat=False):
+    vals, ok = to_dense_pair(x)
+    np.testing.assert_array_equal(ok, exp_ok)
+    vals = np.where(ok, vals, 0)
+    exp = np.where(exp_ok, exp_vals, 0)
+    if isfloat:
+        np.testing.assert_allclose(vals, exp, rtol=1e-6, atol=1e-12)
+    else:
+        np.testing.assert_array_equal(vals, exp)

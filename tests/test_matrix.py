@@ -333,3 +333,135 @@ def test_matrix_scalar_infix(A):
     assert C[6, 3].new().value == 14
     D = gb.semiring.plus_times(A @ A).new()
     assert D.isequal(A.mxm(A, semiring.plus_times).new())
+
+
+# --------------------------------------------------------------------- #
+# Exhaustive update-semantics grid: every (mask kind x accum x replace)
+# combination for each expression kind and dtype class, checked against
+# the dense write-rule oracle (reference test_matrix.py's per-method case
+# sweeps, SURVEY §4; write rule per SURVEY Appendix A).
+from .helpers import (gb_from_pair, oracle_mask_array, oracle_update,
+                      assert_pair_equal)
+from .test_oracle import _oracle_ewise_add, _oracle_ewise_mult, _oracle_mxm
+
+
+def _fixture_pairs(dtype):
+    rng = np.random.default_rng(7)
+    n = 7
+    av = np.zeros((n, n), np.int64)
+    ao = np.zeros((n, n), bool)
+    av[A_ROWS, A_COLS] = A_VALS
+    ao[A_ROWS, A_COLS] = True
+    bo = rng.random((n, n)) < 0.45
+    bv = rng.integers(0, 9, (n, n))
+    co = rng.random((n, n)) < 0.4
+    cv = rng.integers(1, 9, (n, n))
+    mo = rng.random((n, n)) < 0.6
+    mv = rng.integers(0, 3, (n, n))  # explicit zeros: S and V differ
+    np_t = {"INT64": np.int64, "FP64": np.float64, "BOOL": np.bool_}[dtype]
+
+    def cast(v, o):
+        if np_t is np.bool_:
+            return (v % 2).astype(bool) & o, o
+        return np.where(o, v, 0).astype(np_t), o
+
+    return cast(av, ao), cast(bv, bo), cast(cv, co), (mv.astype(np_t), mo)
+
+
+_GRID_OPS = {
+    "INT64": dict(ring="plus_times", add="plus", mult="times", un="ainv",
+                  accums=["plus", "min"],
+                  add_f=lambda a, b: a + b, mult_f=lambda a, b: a * b,
+                  un_f=lambda a: -a, add_ident=0,
+                  accum_f={"plus": lambda a, b: a + b,
+                           "min": np.minimum}),
+    "FP64": dict(ring="plus_times", add="plus", mult="times", un="ainv",
+                 accums=["plus", "min"],
+                 add_f=lambda a, b: a + b, mult_f=lambda a, b: a * b,
+                 un_f=lambda a: -a, add_ident=0.0,
+                 accum_f={"plus": lambda a, b: a + b,
+                          "min": np.minimum}),
+    "BOOL": dict(ring="lor_land", add="lor", mult="land", un="lnot",
+                 accums=["lor", "land"],
+                 add_f=lambda a, b: a | b, mult_f=lambda a, b: a & b,
+                 un_f=lambda a: ~a, add_ident=False,
+                 accum_f={"lor": lambda a, b: a | b,
+                          "land": lambda a, b: a & b}),
+}
+
+
+def _mask_cases(M, mv, mo):
+    yield "none", None, None
+    for structure in (True, False):
+        for complement in (False, True):
+            marr = oracle_mask_array(mv, mo, structure=structure,
+                                     complement=complement)
+            mobj = M.S if structure else M.V
+            if complement:
+                mobj = ~mobj
+            name = ("~" if complement else "") + ("S" if structure else "V")
+            yield name, mobj, marr
+
+
+@pytest.mark.parametrize("dtype", ["INT64", "FP64", "BOOL"])
+@pytest.mark.parametrize(
+    "exprkind", ["mxm", "mxm_at", "ewise_add", "ewise_mult", "apply",
+                 "select"])
+def test_update_semantics_grid(dtype, exprkind):
+    if exprkind == "select" and dtype == "BOOL":
+        pytest.skip("select grid covers numeric dtypes")
+    ops = _GRID_OPS[dtype]
+    (av, ao), (bv, bo), (cv0, co0), (mv, mo) = _fixture_pairs(dtype)
+    A = gb_from_pair(av, ao)
+    B = gb_from_pair(bv, bo)
+    M = gb_from_pair(np.where(mo, mv, 0), mo)
+    ring = getattr(gb.semiring, ops["ring"])[dtype]
+
+    if exprkind == "mxm":
+        z_vals, z_ok = _oracle_mxm(av, ao, bv, bo, ops["add_f"],
+                                   ops["add_ident"], ops["mult_f"])
+        mk = lambda: A.mxm(B, ring)  # noqa: E731
+    elif exprkind == "mxm_at":
+        z_vals, z_ok = _oracle_mxm(av.T, ao.T, bv, bo, ops["add_f"],
+                                   ops["add_ident"], ops["mult_f"])
+        mk = lambda: A.T.mxm(B, ring)  # noqa: E731
+    elif exprkind == "ewise_add":
+        z_vals, z_ok = _oracle_ewise_add(av, ao, bv, bo, ops["add_f"])
+        mk = lambda: A.ewise_add(B, getattr(gb.binary, ops["add"]))  # noqa: E731
+    elif exprkind == "ewise_mult":
+        z_vals, z_ok = _oracle_ewise_mult(av, ao, bv, bo, ops["mult_f"])
+        mk = lambda: A.ewise_mult(B, getattr(gb.binary, ops["mult"]))  # noqa: E731
+    elif exprkind == "apply":
+        z_vals, z_ok = ops["un_f"](av), ao
+        mk = lambda: A.apply(getattr(gb.unary, ops["un"]))  # noqa: E731
+    else:  # select
+        keep = ao & (av > 2)
+        z_vals, z_ok = np.where(keep, av, 0), keep
+        mk = lambda: A.select(gb.select.valuegt, 2)  # noqa: E731
+    z_vals = np.where(z_ok, z_vals, 0)
+
+    isfloat = dtype == "FP64"
+    for mname, mobj, marr in _mask_cases(M, mv, mo):
+        for accum_name in [None] + ops["accums"]:
+            for replace in (False, True):
+                if mobj is None and replace:
+                    continue  # replace requires a mask (matches reference)
+                C = gb_from_pair(cv0, co0)
+                accum = (None if accum_name is None
+                         else getattr(gb.binary, accum_name))
+                if mobj is None and accum is None:
+                    C << mk()
+                else:
+                    C(mask=mobj, accum=accum, replace=replace) << mk()
+                accum_f = (None if accum_name is None
+                           else ops["accum_f"][accum_name])
+                exp_v, exp_ok = oracle_update(
+                    cv0, co0, z_vals, z_ok, marr, accum=accum_f,
+                    replace=replace)
+                try:
+                    assert_pair_equal(C, exp_v, exp_ok, isfloat=isfloat)
+                except AssertionError as e:
+                    raise AssertionError(
+                        f"{exprkind} {dtype} mask={mname} "
+                        f"accum={accum_name} replace={replace}: {e}"
+                    ) from None

@@ -416,3 +416,132 @@ def test_bool_infix_autocompute(v):
     assert r.to_dict() == {1: False, 3: False, 4: True, 6: False}
     with pytest.raises(TypeError, match="BOOL"):
         (v & v).new()
+
+
+# --------------------------------------------------------------------- #
+# Exhaustive update-semantics grid for Vector operations: every
+# (mask kind x accum x replace) combination per expression kind and
+# dtype class against the dense write-rule oracle (reference
+# test_vector.py case sweeps, SURVEY §4).
+from .helpers import (A_COLS, A_ROWS, A_VALS, gb_from_pair,
+                      oracle_mask_array, oracle_update, assert_pair_equal)
+from .test_oracle import _oracle_ewise_add, _oracle_ewise_mult
+from .test_matrix import _GRID_OPS
+
+
+def _vec_fixture(dtype):
+    rng = np.random.default_rng(11)
+    n = 7
+    av = np.zeros((n, n), np.int64)
+    ao = np.zeros((n, n), bool)
+    av[A_ROWS, A_COLS] = A_VALS
+    ao[A_ROWS, A_COLS] = True
+    uo = rng.random(n) < 0.6
+    uv = rng.integers(0, 9, n)
+    wo = rng.random(n) < 0.5
+    wv = rng.integers(1, 9, n)
+    co = rng.random(n) < 0.5
+    cv = rng.integers(1, 9, n)
+    mo = rng.random(n) < 0.7
+    mv = rng.integers(0, 3, n)
+    np_t = {"INT64": np.int64, "FP64": np.float64, "BOOL": np.bool_}[dtype]
+
+    def cast(v, o):
+        if np_t is np.bool_:
+            return (v % 2).astype(bool) & o, o
+        return np.where(o, v, 0).astype(np_t), o
+
+    return (cast(av, ao), cast(uv, uo), cast(wv, wo), cast(cv, co),
+            (mv.astype(np_t), mo))
+
+
+def _oracle_vxm(uv, uo, av, ao, add_f, add_ident, mult_f):
+    n = av.shape[1]
+    out = np.full(n, add_ident, dtype=np.result_type(uv, av))
+    out_ok = np.zeros(n, bool)
+    for j in range(n):
+        acc = None
+        for k in range(av.shape[0]):
+            if uo[k] and ao[k, j]:
+                p = mult_f(uv[k], av[k, j])
+                acc = p if acc is None else add_f(acc, p)
+        if acc is not None:
+            out[j] = acc
+            out_ok[j] = True
+    return np.where(out_ok, out, 0), out_ok
+
+
+@pytest.mark.parametrize("dtype", ["INT64", "FP64", "BOOL"])
+@pytest.mark.parametrize(
+    "exprkind", ["vxm", "vxm_at", "mxv", "ewise_add", "ewise_mult",
+                 "apply", "select", "inner_ewise_union"])
+def test_vector_update_semantics_grid(dtype, exprkind):
+    if exprkind in ("select", "inner_ewise_union") and dtype == "BOOL":
+        pytest.skip("numeric-only grid rows")
+    ops = _GRID_OPS[dtype]
+    ((av, ao), (uv, uo), (wv, wo), (cv0, co0),
+     (mv, mo)) = _vec_fixture(dtype)
+    A = gb_from_pair(av, ao)
+    u = gb_from_pair(uv, uo)
+    w = gb_from_pair(wv, wo)
+    M = gb_from_pair(np.where(mo, mv, 0), mo)
+    ring = getattr(gb.semiring, ops["ring"])[dtype]
+
+    if exprkind == "vxm":
+        z_vals, z_ok = _oracle_vxm(uv, uo, av, ao, ops["add_f"],
+                                   ops["add_ident"], ops["mult_f"])
+        mk = lambda: u.vxm(A, ring)  # noqa: E731
+    elif exprkind == "vxm_at":
+        z_vals, z_ok = _oracle_vxm(uv, uo, av.T, ao.T, ops["add_f"],
+                                   ops["add_ident"], ops["mult_f"])
+        mk = lambda: u.vxm(A.T, ring)  # noqa: E731
+    elif exprkind == "mxv":
+        z_vals, z_ok = _oracle_vxm(uv, uo, av.T, ao.T, ops["add_f"],
+                                   ops["add_ident"], ops["mult_f"])
+        mk = lambda: A.mxv(u, ring)  # noqa: E731
+    elif exprkind == "ewise_add":
+        z_vals, z_ok = _oracle_ewise_add(uv, uo, wv, wo, ops["add_f"])
+        mk = lambda: u.ewise_add(w, getattr(gb.binary, ops["add"]))  # noqa: E731
+    elif exprkind == "ewise_mult":
+        z_vals, z_ok = _oracle_ewise_mult(uv, uo, wv, wo, ops["mult_f"])
+        mk = lambda: u.ewise_mult(w, getattr(gb.binary, ops["mult"]))  # noqa: E731
+    elif exprkind == "apply":
+        z_vals, z_ok = ops["un_f"](uv), uo
+        mk = lambda: u.apply(getattr(gb.unary, ops["un"]))  # noqa: E731
+    elif exprkind == "inner_ewise_union":
+        both = uo | wo
+        z_vals = np.where(uo, uv, 9) + np.where(wo, wv, 7)
+        z_vals, z_ok = np.where(both, z_vals, 0), both
+        mk = lambda: u.ewise_union(w, gb.binary.plus, 9, 7)  # noqa: E731
+    else:  # select
+        keep = uo & (uv > 2)
+        z_vals, z_ok = np.where(keep, uv, 0), keep
+        mk = lambda: u.select(gb.select.valuegt, 2)  # noqa: E731
+    z_vals = np.where(z_ok, z_vals, 0)
+
+    from .test_matrix import _mask_cases
+    isfloat = dtype == "FP64"
+    for mname, mobj, marr in _mask_cases(M, mv, mo):
+        for accum_name in [None] + ops["accums"]:
+            for replace in (False, True):
+                if mobj is None and replace:
+                    continue
+                C = gb_from_pair(cv0, co0)
+                accum = (None if accum_name is None
+                         else getattr(gb.binary, accum_name))
+                if mobj is None and accum is None:
+                    C << mk()
+                else:
+                    C(mask=mobj, accum=accum, replace=replace) << mk()
+                accum_f = (None if accum_name is None
+                           else ops["accum_f"][accum_name])
+                exp_v, exp_ok = oracle_update(
+                    cv0, co0, z_vals, z_ok, marr, accum=accum_f,
+                    replace=replace)
+                try:
+                    assert_pair_equal(C, exp_v, exp_ok, isfloat=isfloat)
+                except AssertionError as e:
+                    raise AssertionError(
+                        f"{exprkind} {dtype} mask={mname} "
+                        f"accum={accum_name} replace={replace}: {e}"
+                    ) from None
