@@ -439,10 +439,13 @@ class Collection(BaseType):
         axis_arrays = []
         region_ndim = 0
         for ix in resolver.indices:
+            # keep index arrays host-side: the jit boundary converts them,
+            # and assign_update's full-axis fast path must be able to
+            # inspect them even while tracing inside ss.iterate
             if ix.is_scalar:
-                axis_arrays.append(jnp.asarray(np.array([ix.index], np.int64)))
+                axis_arrays.append(np.array([ix.index], np.int64))
             else:
-                axis_arrays.append(jnp.asarray(ix.index))
+                axis_arrays.append(np.asarray(ix.index))
                 region_ndim += 1
         # mask-rank case analysis (reference matrix.py:2905+): a submask must
         # match the extracted region's rank; a C-space vector mask is only

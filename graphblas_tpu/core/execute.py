@@ -1477,9 +1477,18 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
     ms = _mask_statics(mask)
     ndim = target.ndim
     region_shape = tuple(int(a.shape[0]) for a in axis_arrays)
+
+    def _full_axis(a, size):
+        a = np.asarray(a)
+        return (len(a) == size and size > 0 and int(a[0]) == 0
+                and int(a[-1]) == size - 1
+                and (len(a) < 2 or bool((np.diff(a) == 1).all())))
+
+    full_axes = all(_full_axis(a, target.shape[d])
+                    for d, a in enumerate(axis_arrays))
     key = ("assign", ndim, c_dt, v_dt, ms, typed_accum, bool(replace),
            bool(is_submask), bool(value_is_scalar), target.shape, region_shape,
-           cmask_vec)
+           cmask_vec, full_axes)
 
     if value_is_scalar:
         val_dyn = value  # (val, present) () arrays
@@ -1490,21 +1499,28 @@ def assign_update(target, axis_arrays, value, *, mask=None, accum=None,
         c_vals, c_valid = c_store
         if value_is_scalar:
             sval, spresent = vdyn
+            # cast the 0-d scalar BEFORE broadcasting: an INT64 loop
+            # counter broadcast over a large region costs emulated-64-bit
+            # arithmetic on TPU (measured 5.5 ms extra per BFS level)
+            sval = st.cast_values(sval, v_dt, c_dt)
             z_vals = jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a, region_shape + a.shape), sval)
             z_valid = jnp.broadcast_to(spresent, region_shape)
         else:
             z_vals, z_valid = vdyn
-        if ndim == 2:
+            z_vals = st.cast_values(z_vals, v_dt, c_dt)
+        if full_axes:
+            # the region is the whole target: no scatter needed
+            s_vals, s_valid = z_vals, z_valid
+            region = jnp.ones(target.shape, bool)
+        elif ndim == 2:
             rows, cols = axes
             s_vals, s_valid, region = dense.scatter_matrix(
-                target.shape, rows, cols, st.cast_values(z_vals, v_dt, c_dt),
-                z_valid, c_dt)
+                target.shape, rows, cols, z_vals, z_valid, c_dt)
         else:
             (idx,) = axes
             s_vals, s_valid, region = dense.scatter_vector(
-                target.shape[0], idx, st.cast_values(z_vals, v_dt, c_dt),
-                z_valid, c_dt)
+                target.shape[0], idx, z_vals, z_valid, c_dt)
         mask_arr = _mask_arr(ms, mask_dyn)
         if is_submask:
             # mask shaped like the region: scatter it into C-space.  A
