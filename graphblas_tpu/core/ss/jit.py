@@ -31,10 +31,28 @@ def _compile_definition(defn, name):
 
     ns = {"jnp": jnp, "np": np, "math": math}
     src = defn.strip()
+    # the reference's primary input format is a C definition string
+    # (reference core/ss/binary.py:33); detect it and point at this
+    # backend's Python-source contract instead of dying in exec()
+    if ("{" in src.split("\n")[0] or src.startswith("void ")
+            or "*z" in src or "GB_DECLARE" in src):
+        raise TypeError(
+            "jit definitions on the TPU backend are jax-traceable PYTHON "
+            "source (a 'lambda ...' or 'def ...'), not C source.  Got what "
+            f"looks like a C definition: {src[:60]!r}.  Write the same "
+            "scalar function in Python; tracing compiles it per dtype."
+        )
     if src.startswith("lambda"):
         return eval(src, ns)  # noqa: S307 — user-supplied op definition
     before = set(ns)
-    exec(src, ns)  # noqa: S102 — user-supplied op definition
+    try:
+        exec(src, ns)  # noqa: S102 — user-supplied op definition
+    except SyntaxError as e:
+        raise TypeError(
+            "jit definition is not valid Python source; the TPU backend "
+            "takes jax-traceable Python (a 'lambda ...' or 'def ...'), "
+            "not the reference's C strings"
+        ) from e
     funcs = {k: v for k, v in ns.items() if k not in before and callable(v)}
     if name in funcs:
         return funcs[name]

