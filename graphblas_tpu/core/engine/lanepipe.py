@@ -59,7 +59,7 @@ from . import store as st
 _IDX = jnp.int32
 
 BR_G = 256      # gather-kernel sublanes per block (32768 edge slots)
-BR_S = 512      # scan-kernel sublanes per block
+BR_S = 128      # scan-kernel sublanes per block (7 roll rounds; measured faster than 512's 9 on v5e)
 WINDOW_K = 16384  # contraction span per gather block (128 u2 rows x 128)
 SPLIT_DEG = 2048  # max edges per (virtual) destination run
 PACK_LIMIT = 2.5  # max allowed padded-slots/nnz ratio before fallback
