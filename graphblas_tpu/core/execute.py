@@ -703,6 +703,27 @@ def _sparse_out_run(expr, out_dtype, mask=None, opts=None):
         sp = src._sparse
         s_nrows, s_ncols = sp.nrows, sp.ncols
         out_nrows, out_ncols = expr._shape
+        dist = getattr(src, "_dist", None)
+        if dist is not None and not tflag:
+            # distributed extract: per-row-block inverse-map extraction,
+            # concatenated (parallel/ops.py; round-4 VERDICT item #6)
+            from ..parallel import ops as pops
+
+            record("extract distributed over the row blocks")
+            key = ("dist_extract", expr._key(), expr._shape, out_dtype,
+                   id(dist.mesh))
+            arrays = (dist.rowids, dist.cols, dist.vals, dist.edge_ok,
+                      dist.csc_perm)
+
+            def fn_d(arrays, rows, cols):
+                out = pops.dist_extract(dist, arrays, rows, cols,
+                                        out_nrows, out_ncols)
+                return spx.cast_copy(out, a_dt, out_dtype)
+
+            dyn = expr._dyn()
+            out_dyn = _run(key, fn_d, arrays, dyn[1], dyn[2])
+            out_sp = spx.SparseStore(*out_dyn, out_nrows, out_ncols)
+            return _maybe_compact(out_sp)
 
         def fn(a_dyn, rows, cols):
             out = spx.extract_submatrix(a_dyn, s_nrows, s_ncols, tflag,

@@ -282,3 +282,47 @@ def dist_masked_spgemm_sharded(a_blocked, a_arrays, b_blocked, b_arrays,
     ok = flat(g_ok)
     csc = spx.csc_perm_of(r, c, n_out_rows, n_out_cols)
     return (r, c, v, ok, csc)
+
+
+def dist_extract(blocked, arrays, rows, cols, out_nrows, out_ncols):
+    """A[rows, cols] over the row blocks (distributed GrB_Matrix_extract).
+
+    Each device runs the single-device inverse-map extract on its block
+    (row ids globalized in-kernel); the per-block padded results
+    concatenate into one global store.  Index arrays are replicated —
+    they are O(out_nrows + out_ncols), not O(nnz)."""
+    from ..core.engine import sparse as spx
+
+    mesh, axis = blocked.mesh, blocked.axis
+    rows_per, n = blocked.rows_per, blocked.n
+    vals_spec = jax.tree_util.tree_map(lambda _: P(axis, None), arrays[2])
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=((P(axis, None), P(axis, None), vals_spec,
+                        P(axis, None), P(axis, None)), P(), P()),
+             out_specs=(P(axis, None), P(axis, None),
+                        jax.tree_util.tree_map(lambda _: P(axis, None),
+                                               arrays[2]),
+                        P(axis, None)))
+    def kernel(a5, rows, cols):
+        take0 = partial(jax.tree_util.tree_map, lambda x: x[0])
+        ar, ac, av, aok, acsc = take0(a5)
+        d = jax.lax.axis_index(axis)
+        grow = jnp.where(ar >= rows_per, n,
+                         ar + d * rows_per).astype(ar.dtype)
+        orow, ocol, ov, ook, _ = spx.extract_submatrix(
+            (grow, ac, av, aok, acsc), n, max(blocked.n, 1), False,
+            rows, cols, out_nrows, out_ncols)
+        exp = lambda x: x[None]  # noqa: E731
+        return (exp(orow), exp(ocol), jax.tree_util.tree_map(exp, ov),
+                exp(ook))
+
+    g_rows, g_cols, g_vals, g_ok = kernel(arrays, rows, cols)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+    r = flat(g_rows)
+    c = flat(g_cols)
+    v = jax.tree_util.tree_map(flat, g_vals)
+    ok = flat(g_ok)
+    r = jnp.where(ok, r, out_nrows).astype(jnp.int32)
+    c = jnp.where(ok, c, out_ncols).astype(jnp.int32)
+    return (r, c, v, ok, spx.csc_perm_of(r, c, out_nrows, out_ncols))
