@@ -520,6 +520,54 @@ def lane_segscan(barrier, vals, ok, combine):
     )(barrier, vals, ok)
 
 
+def fused_permC_scan_permA(pc_route, barrier, pa_ext, vals, combine):
+    """Route stage C + segmented scan + extract stage A in ONE kernel.
+
+    All three operate on aligned (128,128) tiles: the route permutation's
+    final within-tile stage produces the S-layout tile, the sublane scan
+    folds it (sequential carry), and the extract permutation's first
+    within-tile stage rearranges the scanned tile for the extract
+    exchange.  Fusing them removes two kernel launches and two full HBM
+    round trips per matvec.  Single channel (value); the carry crosses
+    blocks on the scanned (pre-extract-perm) values."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = vals.shape[0]
+
+    def kernel(pcr_ref, b_ref, pae_ref, v_ref, o_ref, vcar):
+        i = pl.program_id(0)
+        v = pm._tile_perm_body(v_ref[...], pcr_ref[...])
+        bb = b_ref[...] != 0
+        row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        vc = jnp.where(i > 0, vcar[0, :], v[0, :])
+        first = row == 0
+        v = jnp.where(first & ~bb & (i > 0),
+                      combine(jnp.broadcast_to(vc.reshape(1, 128),
+                                               (128, 128)), v), v)
+        for s in [1 << j for j in range(7)]:
+            s32 = jnp.int32(s)
+            bsh = pltpu.roll(bb.astype(jnp.int32), s32, 0) != 0
+            okm = row >= s
+            v = jnp.where(bb | ~okm, v, combine(pltpu.roll(v, s32, 0), v))
+            bb = bb | (okm & bsh)
+        vcar[0, :] = v[127, :]
+        o_ref[...] = pm._tile_perm_body(v, pae_ref[...])
+
+    spec = lambda: pl.BlockSpec((128, 128), lambda i: (i, 0))  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(R // 128,),
+        in_specs=[spec(), spec(), spec(), spec()],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((R, 128), vals.dtype),
+        scratch_shapes=[pltpu.VMEM((1, 128), vals.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(pc_route, barrier, pa_ext, vals)
+
+
 def _segscan_xla(barrier, vals, ok, combine):
     """CPU/interpret-free fallback: same semantics via associative_scan
     down the sublane axis (per lane)."""
@@ -741,33 +789,50 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
             x = jnp.concatenate([x, jnp.full(L - R_g * 128, fill, dtype)])
         return x.reshape(-1, 128)
 
-    def tail_single(pv2, cmb, fill):
-        """Scan + extract a single channel; returns flat e_v."""
-        s_v, _ = scan(barrier, pv2, None, cmb)
+    def tail_two_level(e_v, cmb, fill):
+        tv2 = e_v[:L2].reshape(R2, 128)
+        tv2 = jnp.where(ok2.reshape(R2, 128) != 0, tv2, fill)
+        s2v, _ = scan(bar2, tv2, None, cmb)
+        e_v, = perm(ext2P, "ext2P", [s2v], out_limit=n_out)
+        return e_v.reshape(-1)
+
+    def run_single(pv_flat, cmb, fill):
+        """Route + scan + extract one channel; returns flat e_v.
+
+        On the Pallas path the route's final stage, the scan, and the
+        extract's first stage run as ONE fused kernel."""
         lim1 = L2 if two_level else n_out
-        e_v, = perm(extP, "extP", [s_v], out_limit=lim1)
-        e_v = e_v.reshape(-1)
-        if two_level:
-            tv2 = e_v[:L2].reshape(R2, 128)
-            tv2 = jnp.where(ok2.reshape(R2, 128) != 0, tv2, fill)
-            s2v, _ = scan(bar2, tv2, None, cmb)
-            e_v, = perm(ext2P, "ext2P", [s2v], out_limit=n_out)
+        if _use_pallas():
+            with jax.enable_x64(False):
+                preC, = pm.apply_perm_pre_c(
+                    meta["permmeta"]["routeP"], routeP, [pv_flat],
+                    interpret=_INTERPRET)
+                yAe = fused_permC_scan_permA(routeP[2], barrier, extP[0],
+                                             preC, cmb)
+                e_v, = pm.apply_perm_post_a(
+                    meta["permmeta"]["extP"], extP, [yAe],
+                    interpret=_INTERPRET, out_limit=lim1)
             e_v = e_v.reshape(-1)
+        else:
+            pv2, = perm(routeP, "routeP", [pv_flat])
+            s_v, _ = scan(barrier, pv2, None, cmb)
+            e_v, = perm(extP, "extP", [s_v], out_limit=lim1)
+            e_v = e_v.reshape(-1)
+        if two_level:
+            e_v = tail_two_level(e_v, cmb, fill)
         return e_v
 
     if packed:
         codes, _ = gather(True, False)
         cf = pad_to_L(codes, 0, jnp.int32)
-        pv2, = perm(routeP, "routeP", [cf])
-        e_v = tail_single(pv2, combine_packed, 0)
+        e_v = run_single(cf, combine_packed, 0)
         out = jnp.maximum(e_v[:n_out] - 1, 0).astype(z_dt.np_type)
         return out, e_v[:n_out] > 0
 
     def fast(_):
         prods, _ = gather(False, True)
         pf = pad_to_L(prods, ident_c, z_c)
-        pv2, = perm(routeP, "routeP", [pf])
-        e_v = tail_single(pv2, combine, ident_c)
+        e_v = run_single(pf, combine, ident_c)
         return e_v[:n_out].astype(z_dt.np_type), out_ok[:n_out] != 0
 
     def slow(_):

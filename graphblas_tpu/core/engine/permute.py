@@ -331,3 +331,53 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
     if len(arrs) == 1:
         outs = [outs]
     return list(outs)
+
+
+def apply_perm_pre_c(meta, dev, arrs, *, interpret=None):
+    """Run stages A/exchange/B/exchange of the permutation, returning the
+    (R,128) arrays that stage C would consume (tile t = destination tile
+    t's arrival layout).  Pallas path only — used by the lanepipe's fused
+    routeC+scan+extractA kernel."""
+    if interpret is None:
+        interpret = _INTERPRET
+    T, T_pad, T128 = meta["T"], meta["T_pad"], meta["T128"]
+    pa, pb, pc = dev
+    ys = _tile_perm_pallas(pa, arrs, interpret)
+    if len(arrs) == 1:
+        ys = [ys]
+    mids = []
+    for y in ys:
+        y = y.reshape(T, N_TILE).T
+        if T_pad > T:
+            y = jnp.pad(y, ((0, 0), (0, T_pad - T)))
+        mids.append(y)
+    zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
+    if len(arrs) == 1:
+        zs = [zs]
+    return [z[:, :T].T.reshape(-1, 128) for z in zs]
+
+
+def apply_perm_post_a(meta, dev, arrs, *, interpret=None, out_limit=None):
+    """Run exchange/B/exchange/C of the permutation, taking arrays that
+    stage A already produced (the lanepipe's fused kernel applies stage A
+    of the extract permutation inside the scan)."""
+    if interpret is None:
+        interpret = _INTERPRET
+    T, T_pad, T128 = meta["T"], meta["T_pad"], meta["T128"]
+    TV = T if out_limit is None else min(T, -(-out_limit // N_TILE))
+    pa, pb, pc = dev
+    mids = []
+    for y in arrs:
+        y = y.reshape(T, N_TILE).T
+        if T_pad > T:
+            y = jnp.pad(y, ((0, 0), (0, T_pad - T)))
+        mids.append(y)
+    zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
+    if len(arrs) == 1:
+        zs = [zs]
+    fin = [z[:, :TV].T.reshape(-1, 128) for z in zs]
+    pcv = pc[:TV * 128] if TV < T else pc
+    outs = _tile_perm_pallas(pcv, fin, interpret)
+    if len(arrs) == 1:
+        outs = [outs]
+    return list(outs)
