@@ -130,12 +130,13 @@ def build_perm_plan(pi):
         nu = nu.astype(np.int64)
     a_sub = a_sub.astype(np.int64)
     A2 = A2.astype(np.int64)
+    rbase = rows_s * T_pad
     b1 = np.empty((n, T128, 128), np.int32)
-    b1[rows_s, a_sub, nu] = l_s
+    b1.reshape(-1)[rbase + (a_sub << 7) + nu] = l_s
     b3 = np.empty((n, T128, 128), np.int32)
-    b3[rows_s, A2, l2] = nu
+    b3.reshape(-1)[rbase + (A2 << 7) + l2] = nu
     bsel = np.empty((n, T128, 128), np.int32)
-    bsel[rows_s, A2, nu] = a_sub
+    bsel.reshape(-1)[rbase + (A2 << 7) + nu] = a_sub
     packed_B = (b1 | (b3 << 7) | (bsel << 14)).reshape(n, T_pad)
 
     # ---- stage C: within dst tile B, move pos c -> q % n
@@ -149,12 +150,13 @@ def build_perm_plan(pi):
     j2p = qq & 127
     mu2 = native.clos_color(i2.astype(np.int32), i2p.astype(np.int32),
                             offs_tiles, 128, 128).astype(np.int64)
+    cbase = BB << 14
     a2 = np.empty((T, 128, 128), np.int32)
-    a2[BB, i2, mu2] = j2
+    a2.reshape(-1)[cbase + (i2 << 7) + mu2] = j2
     b2 = np.empty((T, 128, 128), np.int32)
-    b2[BB, mu2, i2p] = i2
+    b2.reshape(-1)[cbase + (mu2 << 7) + i2p] = i2
     c2 = np.empty((T, 128, 128), np.int32)
-    c2[BB, i2p, j2p] = mu2
+    c2.reshape(-1)[cbase + (i2p << 7) + j2p] = mu2
     packed_C = (a2 | (b2 << 7) | (c2 << 14)).reshape(L // 128, 128)
 
     return {"L": L, "T": T, "T_pad": T_pad, "T128": T128,

@@ -164,6 +164,11 @@ def _get_permlib():
                 ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_void_p,
             ]
+            lib.clos_color_counts.restype = ctypes.c_int
+            lib.clos_color_counts.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ]
             _permlib = lib
         except Exception:  # noqa: BLE001
             _permlib = None
@@ -227,15 +232,28 @@ def clos_color(u, v, offs, m, d):
     u, v: int32 per-graph node ids in [0, m); offs: int64[ngraphs+1]
     partition of the edge arrays.  Returns int32 colors in [0, d), distinct
     within every left node and every right node of each graph.
+
+    Edges between the same (u, v) pair are interchangeable, so the fast
+    path Euler-splits the per-graph COUNT MATRIX (O(cells log d) of
+    sequential sweeps) and assigns the emitted per-cell color multisets
+    to edges in (graph, cell)-sorted order — ~20x faster than walking
+    circuits over the edge list at bench scale.
     """
     u = np.ascontiguousarray(u, np.int32)
     v = np.ascontiguousarray(v, np.int32)
     offs = np.ascontiguousarray(offs, np.int64)
     lib = _get_permlib()
-    if lib is not None:
+    if lib is not None and len(u):
+        ngraphs = len(offs) - 1
+        cell = (u.astype(np.int32) * np.int32(m) + v).astype(np.int32)
+        colors = np.empty(len(u), np.int32)
+        rc = lib.clos_color_counts(_ptr(cell), _ptr(offs), ngraphs,
+                                   int(m), int(d), _ptr(colors))
+        if rc == 0:
+            return colors
         colors = np.empty(len(u), np.int32)
         rc = lib.clos_color(_ptr(u), _ptr(v), _ptr(offs),
-                            len(offs) - 1, int(m), int(d), _ptr(colors))
+                            ngraphs, int(m), int(d), _ptr(colors))
         if rc == 0:
             return colors
     return _clos_color_py(u, v, offs, m, d)
