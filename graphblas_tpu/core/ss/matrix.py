@@ -43,7 +43,7 @@ class MatrixConfig(dict):
             return ("sparse" if self._parent._sparse is not None
                     else "bitmap")
         if key == "format":
-            return "csr" if self._parent._sparse is not None else "bitmapr"
+            return self._parent.ss.format
         return super().__getitem__(key)
 
     def __setitem__(self, key, value):
@@ -72,9 +72,29 @@ class MatrixSS:
         self.config = MatrixConfig(parent)
 
     # ------------------------------------------------------------------ #
+    def _hypersparse(self):
+        """Sparsity-status rule (reference core/ss/matrix.py:558-564):
+        hypersparse when forced by sparsity_control, or in auto mode when
+        the fraction of non-empty rows is below hyper_switch."""
+        p = self._parent
+        if p._sparse is None:
+            return False
+        ctl = self.config.get("sparsity_control", "auto")
+        if ctl == "hypersparse":
+            return True
+        if ctl != "auto" or p.nrows == 0:
+            return False
+        import numpy as np
+
+        r, _, _ = p._sparse.host_coo()
+        nvec = len(np.unique(r))
+        return nvec < self.config.get("hyper_switch", 0.0625) * p.nrows
+
     @property
     def format(self):
-        return "csr" if self._parent._sparse is not None else "bitmapr"
+        if self._parent._sparse is not None:
+            return "hypercsr" if self._hypersparse() else "csr"
+        return "bitmapr"
 
     @property
     def orientation(self):
@@ -126,7 +146,7 @@ class MatrixSS:
         """
         p = self._parent
         if format is None or format in ("rowwise",):
-            format = "csr"
+            format = "hypercsr" if self._hypersparse() else "csr"
         elif format == "columnwise":
             format = "csc"
         format = format.lower()
@@ -202,11 +222,48 @@ class MatrixSS:
         return self.export(format, sort=sort, give_ownership=True, raw=raw)
 
     def unpack_hyperhash(self, *, compute=False, name=None):
-        """Reference core/ss/matrix.py:3664. The dense-region engine keeps no
-        hyper-hash acceleration structure, so there is never one to unpack;
-        returns None exactly like the reference does for a matrix without a
-        hyper-hash (compute=False) or a non-hypersparse matrix."""
-        return None
+        """Hyper-hash acceleration structure (reference core/ss/matrix.py
+        :3664: GxB_unpack_HyperHash).
+
+        The engine keeps no cached hyper-hash (lookups go through device
+        gathers, not host hashing), so with ``compute=False`` this returns
+        None exactly like the reference does for a matrix without one.
+        ``compute=True`` builds and returns the structure for a
+        hypersparse matrix: an INT64 Matrix of shape (table_size, 2)
+        using open addressing — row t holds (row id, position in the
+        hypercsr ``rows`` list) for the hyperlist entry hashed to slot t
+        (linear probing; table_size is the power of two >= 2*nvec).  A
+        matrix that would not export as hypercsr returns None.
+        """
+        if not compute:
+            return None
+        exp = self.export("rowwise")
+        if exp.get("format") != "hypercsr":
+            return None
+        import numpy as np
+
+        from ..matrix import Matrix
+
+        rows = np.asarray(exp["rows"], np.int64)
+        nvec = len(rows)
+        size = 1
+        while size < max(2 * nvec, 1):
+            size *= 2
+        mask = size - 1
+        table_r = np.full(size, -1, np.int64)
+        table_k = np.full(size, -1, np.int64)
+        for k, r in enumerate(rows):
+            h = (int(r) * 0x9E3779B1) & mask
+            while table_r[h] >= 0:
+                h = (h + 1) & mask
+            table_r[h] = r
+            table_k[h] = k
+        occ = np.flatnonzero(table_r >= 0)
+        return Matrix.from_coo(
+            np.repeat(occ, 2), np.tile(np.array([0, 1]), len(occ)),
+            np.stack([table_r[occ], table_k[occ]], axis=1).reshape(-1),
+            dtype="INT64", nrows=size, ncols=2,
+            name=name or "hyper_hash")
 
     @classmethod
     def import_any(cls, **kwargs):

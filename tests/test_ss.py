@@ -381,3 +381,37 @@ def test_context_mapping_interface():
         c["bogus"]
     with pytest.raises(KeyError):
         c["bogus"] = 1
+
+
+def test_unpack_hyperhash_compute():
+    """compute=True builds the open-addressing acceleration structure for
+    a hypersparse matrix (reference GxB_unpack_HyperHash, core/ss/
+    matrix.py:3664); every hyperlist row must be findable by probing."""
+    n = 10000
+    rows = np.array([3, 777, 4096, 9999])
+    A = gb.Matrix.from_coo(np.repeat(rows, 2),
+                           np.tile(np.array([1, 5]), len(rows)),
+                           np.arange(8), nrows=n, ncols=n)
+    exp = A.ss.export("rowwise")
+    if exp.get("format") != "hypercsr":
+        pytest.skip("matrix did not export hypersparse")
+    Y = A.ss.unpack_hyperhash(compute=True)
+    assert Y is not None
+    assert Y.dtype.name == "INT64"
+    size = Y.nrows
+    assert size & (size - 1) == 0 and size >= 2 * len(rows)
+    r_, c_, v_ = Y.to_coo()
+    table = {}
+    for rr, cc, vv in zip(r_.astype(int), c_.astype(int), v_.astype(int)):
+        table.setdefault(rr, {})[cc] = vv
+    hyper_rows = np.asarray(exp["rows"], np.int64)
+    mask = size - 1
+    for k, row in enumerate(hyper_rows):
+        h = (int(row) * 0x9E3779B1) & mask
+        while table[h][0] != row:
+            h = (h + 1) & mask
+        assert table[h][1] == k
+    # non-hypersparse and compute=False stay None
+    D = gb.Matrix.from_coo([0, 1], [0, 1], [1, 2], nrows=2, ncols=2)
+    assert D.ss.unpack_hyperhash(compute=True) is None
+    assert A.ss.unpack_hyperhash() is None
