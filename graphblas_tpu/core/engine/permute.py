@@ -253,22 +253,33 @@ def _tile_perm_pallas(p, nch_arrs, interpret):
 
 
 def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
-    """Apply within-row perms; arrays are (16384, T_pad)."""
+    """Apply within-row perms.
+
+    Input arrays are (16384, T) with T <= T_pad: the pad columns (the
+    plan's identity dummies) are materialized in VMEM inside the kernel,
+    and dropped again on output — real elements never reference pad
+    positions (their ports are all < T), so no HBM pad/slice copies are
+    needed around this stage."""
     from jax.experimental import pallas as pl
 
     nch = len(arrs)
+    T = arrs[0].shape[1]
 
     def kernel(*refs):
         p_ref = refs[0]
         in_refs = refs[1:1 + nch]
         out_refs = refs[1 + nch:]
         for a_i in range(nch):
+            y = in_refs[a_i][...]
+            if T < T_pad:
+                y = jnp.concatenate(
+                    [y, jnp.zeros((128, T_pad - T), y.dtype)], axis=1)
             subs = []
             for a in range(T128):
                 sl = slice(a * 128, (a + 1) * 128)
                 idx = p_ref[:, sl]
-                subs.append(jnp.take_along_axis(in_refs[a_i][:, sl],
-                                                idx & 127, axis=1))
+                subs.append(jnp.take_along_axis(y[:, sl], idx & 127,
+                                                axis=1))
             for A2 in range(T128):
                 sl = slice(A2 * 128, (A2 + 1) * 128)
                 idx = p_ref[:, sl]
@@ -276,18 +287,25 @@ def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
                 acc = subs[0]
                 for a in range(1, T128):
                     acc = jnp.where(sel == a, subs[a], acc)
-                out_refs[a_i][:, sl] = jnp.take_along_axis(
-                    acc, (idx >> 7) & 127, axis=1)
+                z = jnp.take_along_axis(acc, (idx >> 7) & 127, axis=1)
+                lo = A2 * 128
+                if lo >= T:
+                    continue  # pad-only column group: all dummies
+                if lo + 128 <= T:
+                    out_refs[a_i][:, lo:lo + 128] = z
+                else:
+                    out_refs[a_i][:, lo:T] = z[:, :T - lo]
 
-    spec = pl.BlockSpec((128, T_pad), lambda i: (i, 0))
+    pspec = pl.BlockSpec((128, T_pad), lambda i: (i, 0))
+    dspec = pl.BlockSpec((128, T), lambda i: (i, 0))
     return pl.pallas_call(
         kernel,
         grid=(N_TILE // 128,),
-        in_specs=[spec] * (1 + nch),
-        out_specs=tuple([spec] * nch) if nch > 1 else spec,
-        out_shape=tuple(jax.ShapeDtypeStruct((N_TILE, T_pad), a.dtype)
+        in_specs=[pspec] + [dspec] * nch,
+        out_specs=tuple([dspec] * nch) if nch > 1 else dspec,
+        out_shape=tuple(jax.ShapeDtypeStruct((N_TILE, T), a.dtype)
                         for a in arrs) if nch > 1
-        else jax.ShapeDtypeStruct((N_TILE, T_pad), arrs[0].dtype),
+        else jax.ShapeDtypeStruct((N_TILE, T), arrs[0].dtype),
         interpret=interpret,
     )(p, *arrs)
 
@@ -318,16 +336,11 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
     ys = _tile_perm_pallas(pa, arrs, interpret)
     if len(arrs) == 1:
         ys = [ys]
-    mids = []
-    for y in ys:
-        y = y.reshape(T, N_TILE).T
-        if T_pad > T:
-            y = jnp.pad(y, ((0, 0), (0, T_pad - T)))
-        mids.append(y)
+    mids = [y.reshape(T, N_TILE).T for y in ys]
     zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
     if len(arrs) == 1:
         zs = [zs]
-    fin = [z[:, :TV].T.reshape(-1, 128) for z in zs]
+    fin = [(z[:, :TV] if TV < T else z).T.reshape(-1, 128) for z in zs]
     pcv = pc[:TV * 128] if TV < T else pc
     outs = _tile_perm_pallas(pcv, fin, interpret)
     if len(arrs) == 1:
@@ -347,16 +360,11 @@ def apply_perm_pre_c(meta, dev, arrs, *, interpret=None):
     ys = _tile_perm_pallas(pa, arrs, interpret)
     if len(arrs) == 1:
         ys = [ys]
-    mids = []
-    for y in ys:
-        y = y.reshape(T, N_TILE).T
-        if T_pad > T:
-            y = jnp.pad(y, ((0, 0), (0, T_pad - T)))
-        mids.append(y)
+    mids = [y.reshape(T, N_TILE).T for y in ys]
     zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
     if len(arrs) == 1:
         zs = [zs]
-    return [z[:, :T].T.reshape(-1, 128) for z in zs]
+    return [z.T.reshape(-1, 128) for z in zs]
 
 
 def apply_perm_post_a(meta, dev, arrs, *, interpret=None, out_limit=None):
@@ -368,16 +376,11 @@ def apply_perm_post_a(meta, dev, arrs, *, interpret=None, out_limit=None):
     T, T_pad, T128 = meta["T"], meta["T_pad"], meta["T128"]
     TV = T if out_limit is None else min(T, -(-out_limit // N_TILE))
     pa, pb, pc = dev
-    mids = []
-    for y in arrs:
-        y = y.reshape(T, N_TILE).T
-        if T_pad > T:
-            y = jnp.pad(y, ((0, 0), (0, T_pad - T)))
-        mids.append(y)
+    mids = [y.reshape(T, N_TILE).T for y in arrs]
     zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
     if len(arrs) == 1:
         zs = [zs]
-    fin = [z[:, :TV].T.reshape(-1, 128) for z in zs]
+    fin = [(z[:, :TV] if TV < T else z).T.reshape(-1, 128) for z in zs]
     pcv = pc[:TV * 128] if TV < T else pc
     outs = _tile_perm_pallas(pcv, fin, interpret)
     if len(arrs) == 1:
