@@ -127,42 +127,63 @@ def build_plan(d, k, vals_np, n_out, n_in):
     c_a = (c_k >> 7) & 127
     c_b = c_k & 127
     # rank chunks within (window, a-row) by count desc -> layer j;
-    # lane = (j + salt[a]) % 128 spreads heavy layers across lanes
+    # preferred lane = (j + salt[a]) % 128 spreads heavy layers across
+    # lanes, and placement probes nearby lanes before opening a new page
     ordc = np.lexsort((-c_cnt, c_a, c_w))
     key_wa = (c_w[ordc] << 7) | c_a[ordc]
     j_rank = _run_index(key_wa)
     salt = np.random.default_rng(0).permutation(128)
-    lane_c = np.empty(len(c_k), np.int64)
-    lane_c[ordc] = (j_rank + salt[c_a[ordc]]) % 128
-    # page chunks into blocks: per (window, lane) in layer order, greedy
-    # fill <= BR_G rows with at most one chunk per window-row a
-    ordp = np.lexsort((j_rank, lane_c[ordc], c_w[ordc]))
-    seq = ordc[ordp]  # chunk ids grouped by (window, lane), layer asc
+    lane_pref = np.empty(len(c_k), np.int64)
+    lane_pref[ordc] = (j_rank + salt[c_a[ordc]]) % 128
+    # greedy placement, heaviest layers first within each window: each
+    # lane keeps an open page (fill <= BR_G rows, at most one chunk per
+    # window-row a); a chunk probes its preferred lane then neighbors,
+    # and only opens a fresh page when none of the probes fit — this
+    # recovers most of the fragmentation the per-lane formulaic paging
+    # left (RMAT packed 1.64x before, ~1.2x with probing)
+    ordp = np.lexsort((j_rank, c_w[ordc]))
+    seq = ordc[ordp]  # chunk ids grouped by window, layer asc
     page = np.empty(len(c_k), np.int64)
+    lane_c = np.empty(len(c_k), np.int64)
     rowfill = np.empty(len(c_k), np.int64)
     uwins, win_of_chunk = np.unique(c_w, return_inverse=True)
     blocks_per_win = np.zeros(len(uwins), np.int64)
     cw_seq = c_w[seq]
-    lane_seq = lane_c[seq]
+    pref_seq = lane_pref[seq]
     cnt_seq = c_cnt[seq]
     a_seq = c_a[seq]
-    cur_w = cur_l = -1
-    pg = fill = 0
-    abits = 0
+    NPROBE = 8
+    pg = fill = abits = None
+    cur_w = -1
     for i in range(len(seq)):
-        if cw_seq[i] != cur_w or lane_seq[i] != cur_l:
-            cur_w, cur_l = cw_seq[i], lane_seq[i]
-            pg, fill, abits = 0, 0, 0
-        cnt = cnt_seq[i]
+        if cw_seq[i] != cur_w:
+            cur_w = cw_seq[i]
+            pg = [0] * 128
+            fill = [0] * 128
+            abits = [0] * 128
+        cnt = int(cnt_seq[i])
         bit = 1 << int(a_seq[i])
-        if fill + cnt > BR_G or (abits & bit):
-            pg += 1
-            fill = 0
-            abits = 0
-        page[seq[i]] = pg
-        rowfill[seq[i]] = fill
-        fill += cnt
-        abits |= bit
+        l0 = int(pref_seq[i])
+        placed = -1
+        for t in range(NPROBE):
+            l = (l0 + t) & 127
+            if fill[l] + cnt <= BR_G and not (abits[l] & bit):
+                placed = l
+                break
+        if placed < 0:
+            # no open page fits: open a fresh page on the lane with the
+            # fewest pages so far (page count per window = max over
+            # lanes, so advances must stay balanced)
+            placed = min(range(128), key=lambda l_: (pg[l_], -fill[l_]))
+            pg[placed] += 1
+            fill[placed] = 0
+            abits[placed] = 0
+        ci = seq[i]
+        page[ci] = pg[placed]
+        lane_c[ci] = placed
+        rowfill[ci] = fill[placed]
+        fill[placed] += cnt
+        abits[placed] |= bit
     if len(seq):
         np.maximum.at(blocks_per_win, win_of_chunk, page + 1)
     block_base_w = np.r_[0, np.cumsum(blocks_per_win)]
