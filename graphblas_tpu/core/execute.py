@@ -111,7 +111,17 @@ def _format_plan(expr):
     if m in ("apply", "apply_indexunary", "select", "copy", "transpose"):
         return "sparse"
     if m == "mxm":
-        # diag fast path and general sparse SpGEMM both produce sparse
+        # diag fast path and general sparse SpGEMM both produce sparse —
+        # unless a dense operand carries TRACED arrays (a loop-state
+        # matrix inside ss.iterate): host-sparsifying a tracer is
+        # impossible, so that case goes through the dense matmul
+        import jax as _jax
+
+        for a in expr.args:
+            if (getattr(a, "_sparse", None) is None
+                    and isinstance(getattr(a, "_d_vals", None),
+                                   _jax.core.Tracer)):
+                return "densify"
         return "sparse"
     if m == "extract":
         pattern = expr._statics[1]

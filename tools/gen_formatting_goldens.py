@@ -273,13 +273,18 @@ def build():
     lines.append(FIXTURE_SRC.strip())
     lines.append("")
     for name, expr in CASES:
-        got = eval(expr, ns, {"f": f})
+        # inline constructions must stay bitmap-backed regardless of the
+        # suite's --force-sparse axis: the format column is part of the
+        # pinned repr
+        with gb.config.set(auto_sparse_limit=1 << 62):
+            got = eval(expr, ns, {"f": f})
         if not isinstance(got, str) or not got:
             raise AssertionError(f"case {name}: non-string or empty repr")
         lines.append("")
         lines.append(f"def test_{name}():")
         lines.append("    f = _fixtures()")
-        lines.append(f"    got = {expr}")
+        lines.append("    with gb.config.set(auto_sparse_limit=1 << 62):")
+        lines.append(f"        got = {expr}")
         lines.append(f"    assert got == {got!r}")
         lines.append("")
     return "\n".join(lines) + "\n"
