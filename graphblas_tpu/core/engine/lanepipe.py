@@ -152,7 +152,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
     pref_seq = lane_pref[seq]
     cnt_seq = c_cnt[seq]
     a_seq = c_a[seq]
-    NPROBE = 8
+    NPROBE = 16
     pg = fill = abits = None
     cur_w = -1
     for i in range(len(seq)):
