@@ -223,36 +223,32 @@ def build_plan(d, k, vals_np, n_out, n_in):
     V = int(vstart[-1])
     two_level = bool((nsplit > 1).any())
 
-    L2 = 0
+    # split-destination recombination (round-5): instead of a second
+    # scan+permute level, split dests' partial totals extract into a tiny
+    # APPENDIX region of fixed-width power-of-two groups; the caller
+    # tree-reduces each group with the monoid and scatters the handful of
+    # results into the output (all XLA, no extra kernel launches — the
+    # r4 level-2 tail cost 4 launches on a runtime that charges ~45us
+    # per launch).
+    L2req = 0
+    n_split = W2 = 0
+    split_ids = l2_mask = None
     if two_level:
-        # level-2 layout: vdest totals placed column-major so a dest's run
-        # is vertical within one lane (the sublane scan folds it); a run
-        # never crosses a lane boundary.
-        R2 = max(_ceil_to(-(-V // 128) + int(nsplit.max()) + 1, BR_S), BR_S)
-        L2 = R2 * 128
-        cum = np.cumsum(nsplit)
-        start2 = np.zeros(n_out, np.int64)
-        pos = 0  # flat column-major cursor
-        lo = 0   # first unplaced dest
-        for lane in range(128):
-            if lo >= n_out:
-                break
-            pos = max(pos, lane * R2)
-            cap_end = (lane + 1) * R2
-            prev = cum[lo - 1] if lo else 0
-            fit = lo + int(np.searchsorted(cum[lo:] - prev, cap_end - pos,
-                                           side="right"))
-            if fit > lo:
-                start2[lo:fit] = pos + np.concatenate(
-                    [[0], np.cumsum(nsplit[lo:fit])[:-1]])
-                pos += int(cum[fit - 1] - prev)
-                lo = fit
-        if lo < n_out:
-            raise AssertionError("level-2 placement overflow")
-        # column-major offset -> row-major flat position in (R2, 128)
-        vid_off = np.repeat(start2, nsplit) + _run_index(
-            np.repeat(np.arange(n_out), nsplit))
-        pos2 = (vid_off % R2) * 128 + (vid_off // R2)
+        split_mask_d = nsplit > 1
+        split_ids = np.flatnonzero(split_mask_d)
+        n_split = len(split_ids)
+        W2 = 1 << int(np.ceil(np.log2(int(nsplit.max()))))
+        grp_of_dest = np.cumsum(split_mask_d) - 1
+        vid_dest = np.repeat(np.arange(n_out), nsplit)
+        vid_j = _run_index(vid_dest)
+        is_split_v = split_mask_d[vid_dest]
+        tgt = np.where(is_split_v,
+                       n_out + grp_of_dest[vid_dest] * W2 + vid_j,
+                       vid_dest)
+        L2req = n_out + n_split * W2
+        l2_mask = np.zeros((n_split, W2), bool)
+        l2_mask.reshape(-1)[grp_of_dest[vid_dest[is_split_v]] * W2
+                            + vid_j[is_split_v]] = True
 
     # edge -> vdest: within dest, edges numbered 0.. in d-stable order
     od = np.argsort(d, kind="stable")
@@ -282,7 +278,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
     lane_len = np.bincount(lane_of_v, weights=wt, minlength=128).astype(np.int64)
     R_s = int(lane_len.max())
 
-    L = _ceil_to(max(L_g, R_s * 128, L2, 1), BR_S * 128)
+    L = _ceil_to(max(L_g, R_s * 128, L2req, 1), BR_S * 128)
     R_scan = L // 128
     if R_scan * 128 > PACK_LIMIT * (m + V) + BR_S * 128 * 2:
         return None
@@ -315,13 +311,14 @@ def build_plan(d, k, vals_np, n_out, n_in):
     junk = np.ones(R_scan * 128, bool)
     junk[last_flat] = False
     if two_level:
-        # ranks must be a full permutation of [0, L): totals land at their
-        # level-2 placement, junk fills the unassigned positions first
-        ext_rank[last_flat] = pos2.astype(np.int32)
-        unassigned = np.setdiff1d(np.arange(L2, dtype=np.int64), pos2)
+        # ranks must be a full permutation of [0, L): unsplit totals land
+        # at their natural dest position, split partials in the appendix,
+        # junk fills the unassigned positions first
+        ext_rank[last_flat] = tgt.astype(np.int32)
+        unassigned = np.setdiff1d(np.arange(L2req, dtype=np.int64), tgt)
         njunk = int(junk.sum())
         fill = np.concatenate(
-            [unassigned, L2 + np.arange(njunk - len(unassigned))])
+            [unassigned, L2req + np.arange(njunk - len(unassigned))])
         ext_rank[junk] = fill.astype(np.int32)
     else:
         ext_rank[last_flat] = np.arange(V, dtype=np.int32)
@@ -340,6 +337,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
     plan = {
         "R_g": R_g, "L": L, "R_scan": R_scan, "V": V, "n_out": n_out,
         "n_in": n_in, "nblocks_g": nblocks_g, "two_level": two_level,
+        "n_split": n_split, "W2": W2, "L2req": L2req,
         "out_ok": deg > 0,
         "meta": meta,
         "idx1_g": idx1_g,
@@ -352,22 +350,8 @@ def build_plan(d, k, vals_np, n_out, n_in):
         "route": route,
     }
     if two_level:
-        # level 2: sublane scan over the column-major vdest-total placement
-        bar2 = np.ones(L2, bool)
-        run_idx2 = _run_index(np.repeat(np.arange(n_out), nsplit))
-        bar2[pos2] = run_idx2 == 0
-        ok2 = np.zeros(L2, bool)
-        ok2[pos2] = True
-        last_off = start2 + nsplit - 1
-        last2 = (last_off % R2) * 128 + (last_off // R2)
-        ext2 = np.empty(L2, np.int32)
-        junk2 = np.ones(L2, bool)
-        junk2[last2] = False
-        ext2[last2] = np.arange(n_out, dtype=np.int32)
-        ext2[junk2] = n_out + np.arange(int(junk2.sum()), dtype=np.int32)
-        assert bar2.reshape(R2, 128)[0].all()
-        plan.update({"L2": L2, "R2": R2, "bar2": bar2.reshape(R2, 128),
-                     "ok2": ok2, "ext2": ext2})
+        plan.update({"l2_ids": split_ids.astype(np.int32),
+                     "l2_mask": l2_mask})
     return plan
 
 
@@ -665,11 +649,9 @@ def _get_plan(spstore, dest_is_row, *, at=False):
     # (permute.py): replaces the round-4 global lax.sorts
     perms = {"routeP": pm.build_perm_plan(plan["route"]),
              "extP": pm.build_perm_plan(plan["ext_rank"])}
-    if plan["two_level"]:
-        perms["ext2P"] = pm.build_perm_plan(plan["ext2"])
     dev = {}
     for name in ("meta", "idx1_g", "locidx_g", "okg", "avals_g", "barrier",
-                 "oks", "out_ok", "bar2", "ok2"):
+                 "oks", "out_ok", "l2_ids", "l2_mask"):
         if name in plan:
             arr = plan[name]
             if arr.dtype == bool:
@@ -685,7 +667,7 @@ def _get_plan(spstore, dest_is_row, *, at=False):
     entry["dev"] = dev
     entry["key"] = (entry["L"], entry["R_g"], entry["V"], entry["n_in"],
                     entry["n_out"], entry["two_level"],
-                    entry.get("L2", 0), entry.get("R2", 0),
+                    entry.get("n_split", 0), entry.get("W2", 0),
                     tuple(sorted((k3, v3["T"], v3["T_pad"])
                                  for k3, v3 in pmeta.items())))
     plans[key] = entry
@@ -697,7 +679,7 @@ def plan_dyn_tuple(entry):
     base = (d["meta"], d["idx1_g"], d["locidx_g"], d["okg"], d["avals_g"],
             d["barrier"], d["oks"], d["routeP"], d["extP"], d["out_ok"])
     if entry["two_level"]:
-        return base + (d["bar2"], d["ok2"], d["ext2P"])
+        return base + (d["l2_ids"], d["l2_mask"])
     return base
 
 
@@ -724,9 +706,10 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     nblocks = meta["nblocks_g"]
     two_level = meta["two_level"]
     if two_level:
-        bar2, ok2, ext2P = plan_dyn[10:13]
-        L2 = meta["L2"]
-        R2 = meta["R2"]
+        l2_ids, l2_mask = plan_dyn[10:12]
+        n_split = meta["n_split"]
+        W2 = meta["W2"]
+        L2req = meta["L2req"]
     mult = ring.binaryop
     mono = ring.monoid
     z_dt = mono.type
@@ -811,18 +794,25 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
         return x.reshape(-1, 128)
 
     def tail_two_level(e_v, cmb, fill):
-        tv2 = e_v[:L2].reshape(R2, 128)
-        tv2 = jnp.where(ok2.reshape(R2, 128) != 0, tv2, fill)
-        s2v, _ = scan(bar2, tv2, None, cmb)
-        e_v, = perm(ext2P, "ext2P", [s2v], out_limit=n_out)
-        return e_v.reshape(-1)
+        """Recombine split-destination partials: identity-mask the
+        appendix groups, tree-reduce each with the monoid, scatter the
+        handful of results into the natural-order totals (all XLA — the
+        round-4 level-2 scan+permute cost 4 kernel launches)."""
+        app = e_v[n_out:n_out + n_split * W2].reshape(n_split, W2)
+        app = jnp.where(l2_mask != 0, app, fill)
+        w = W2
+        while w > 1:
+            half = w // 2
+            app = cmb(app[:, :half], app[:, half:w])
+            w = half
+        return e_v[:n_out].at[l2_ids].set(app[:, 0])
 
     def run_single(pv_flat, cmb, fill):
         """Route + scan + extract one channel; returns flat e_v.
 
         On the Pallas path the route's final stage, the scan, and the
         extract's first stage run as ONE fused kernel."""
-        lim1 = L2 if two_level else n_out
+        lim1 = L2req if two_level else n_out
         if _use_pallas():
             with jax.enable_x64(False):
                 preC, = pm.apply_perm_pre_c(
@@ -865,20 +855,16 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
         pv2 = jnp.where(ph2, pv2, ident_c)
         ph2 = ph2.astype(jnp.int32)
         s_v, s_h = scan(barrier, pv2, ph2, combine)
-        lim1 = L2 if two_level else n_out
+        lim1 = L2req if two_level else n_out
         e_v, e_h = perm(extP, "extP", [s_v, s_h], out_limit=lim1)
         e_v = e_v.reshape(-1)
         e_h = e_h.reshape(-1)
         if two_level:
-            tv2 = e_v[:L2].reshape(R2, 128)
-            th2 = ((e_h[:L2].reshape(R2, 128) != 0)
-                   & (ok2.reshape(R2, 128) != 0))
-            tv2 = jnp.where(th2, tv2, ident_c)
-            th2 = th2.astype(jnp.int32)
-            s2v, s2h = scan(bar2, tv2, th2, combine)
-            e_v, e_h = perm(ext2P, "ext2P", [s2v, s2h], out_limit=n_out)
-            e_v = e_v.reshape(-1)
-            e_h = e_h.reshape(-1)
+            # partials with no valid contribution act as the identity;
+            # group validity = any partial valid
+            e_v = jnp.where(e_h != 0, e_v, ident_c)
+            e_v = tail_two_level(e_v, combine, ident_c)
+            e_h = tail_two_level(e_h, jnp.maximum, 0)
         return e_v[:n_out].astype(z_dt.np_type), e_h[:n_out] > 0
 
     return jax.lax.cond(jnp.all(u_valid), fast, slow, None)
