@@ -278,9 +278,12 @@ def build_plan(d, k, vals_np, n_out, n_in):
     lane_len = np.bincount(lane_of_v, weights=wt, minlength=128).astype(np.int64)
     R_s = int(lane_len.max())
 
-    L = _ceil_to(max(L_g, R_s * 128, L2req, 1), BR_S * 128)
+    # round L to 4 Clos tiles (65536) so the fused routeC+scan+extA
+    # kernel can run 512-row grid steps (4x fewer steps; the extra slack
+    # is < 1.5% of nnz at bench sizes and is filled with junk slots)
+    L = _ceil_to(max(L_g, R_s * 128, L2req, 1), 4 * BR_S * 128)
     R_scan = L // 128
-    if R_scan * 128 > PACK_LIMIT * (m + V) + BR_S * 128 * 2:
+    if R_scan * 128 > PACK_LIMIT * (m + V) + 4 * BR_S * 128 * 2:
         return None
 
     barrier = np.ones((R_scan, 128), bool)  # junk slots isolate themselves
@@ -358,7 +361,7 @@ def build_plan(d, k, vals_np, n_out, n_in):
 # --------------------------------------------------------------------- #
 # kernels
 def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
-                nblocks, packed=False, full_u=False):
+                nblocks, packed=False, full_u=False, permA=None):
     """Pallas gather+mult.
 
     Default: (prods (R_g,128) z-carrier with identity at invalid slots,
@@ -367,6 +370,14 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
     through route/scan/extract with no second channel.  full_u=True
     asserts every u element is valid (guarded by the caller's lax.cond)
     and skips the u-validity gather entirely.
+
+    permA: packed stage-A indices of the route permutation ((L//128,128)
+    i32; only the first R_g rows are read).  The route's first within-tile
+    stage is folded into the output write — tiles beyond R_g*128 (the
+    pad-to-L fill) hold one constant, for which a within-tile permutation
+    is a no-op, so the downstream route skips its stage A entirely
+    (apply_perm(..., skip_a=True)).  Saves one kernel launch and one full
+    L-element HBM round trip per matvec.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -393,8 +404,16 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
             return jnp.where(ok, prods.astype(jnp.int32) + 1, 0)
         return jnp.where(ok, prods, ident_c)
 
-    def kernel(meta_ref, uwin_ref, uokwin_ref, idx1_ref, loc_ref, okg_ref,
-               av_ref, prods_ref, okp_ref=None):
+    with_pa = permA is not None
+
+    def kernel(*refs):
+        if with_pa:
+            (meta_ref, uwin_ref, uokwin_ref, idx1_ref, loc_ref, okg_ref,
+             av_ref, pa_ref, prods_ref, *rest) = refs
+        else:
+            (meta_ref, uwin_ref, uokwin_ref, idx1_ref, loc_ref, okg_ref,
+             av_ref, prods_ref, *rest) = refs
+        okp_ref = rest[0] if rest else None
         # z[a, l] = u-window[a, idx1[a, l]]: the one distinct k this lane
         # references at window-row a; then per slot g[r, l] = z[arow, l]
         z = jnp.take_along_axis(uwin_ref[:], idx1_ref[:], axis=1)
@@ -411,28 +430,35 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
             else:
                 go = jnp.take_along_axis(zoT, arow.T, axis=1).T
                 ok = (okg_ref[sl, :] != 0) & (go != 0)
-            prods_ref[sl, :] = compute(av_ref[sl, :], g, ok)
+            p = compute(av_ref[sl, :], g, ok)
+            if with_pa:
+                idxA = pa_ref[sl, :]
+                p = pm._tile_perm_body(p, idxA)
+            prods_ref[sl, :] = p
             if okp_ref is not None:
-                okp_ref[sl, :] = ok.astype(jnp.int32)
+                h = ok.astype(jnp.int32)
+                if with_pa:
+                    h = pm._tile_perm_body(h, idxA)
+                okp_ref[sl, :] = h
 
     one_out = packed or full_u
     z_out = jnp.int32 if packed else z_c
+    blk = lambda: pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0))  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
+        pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
+        pl.BlockSpec((128, 128), lambda i, wb: (i, 0)),
+        blk(), blk(), blk(),
+    ]
+    args = [u2, u2ok, idx1, locidx, okg, avals]
+    if with_pa:
+        in_specs.append(blk())
+        args.append(permA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
-            pl.BlockSpec((128, 128), lambda i, wb: (wb[i, 0], 0)),
-            pl.BlockSpec((128, 128), lambda i, wb: (i, 0)),
-            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
-            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
-            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)) if one_out
-        else (
-            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
-            pl.BlockSpec((BR_G, 128), lambda i, wb: (i, 0)),
-        ),
+        in_specs=in_specs,
+        out_specs=blk() if one_out else (blk(), blk()),
     )
     out = pl.pallas_call(
         kernel,
@@ -441,7 +467,7 @@ def gather_mult(plan_g, u2, u2ok, mult, a_dt, u_dt, mono, *, kind, R_g,
         else (jax.ShapeDtypeStruct((R_g, 128), z_c),
               jax.ShapeDtypeStruct((R_g, 128), jnp.int32)),
         interpret=_INTERPRET,
-    )(wbase, u2, u2ok, idx1, locidx, okg, avals)
+    )(wbase, *args)
     if one_out:
         return out, None
     return out
@@ -539,30 +565,41 @@ def fused_permC_scan_permA(pc_route, barrier, pa_ext, vals, combine):
     from jax.experimental.pallas import tpu as pltpu
 
     R = vals.shape[0]
+    BR = 512 if R % 512 == 0 else 128  # build_plan rounds L to 4 tiles
 
     def kernel(pcr_ref, b_ref, pae_ref, v_ref, o_ref, vcar):
         i = pl.program_id(0)
-        v = pm._tile_perm_body(v_ref[...], pcr_ref[...])
-        bb = b_ref[...] != 0
         row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        vc = jnp.where(i > 0, vcar[0, :], v[0, :])
         first = row == 0
-        v = jnp.where(first & ~bb & (i > 0),
-                      combine(jnp.broadcast_to(vc.reshape(1, 128),
-                                               (128, 128)), v), v)
-        for s in [1 << j for j in range(7)]:
-            s32 = jnp.int32(s)
-            bsh = pltpu.roll(bb.astype(jnp.int32), s32, 0) != 0
-            okm = row >= s
-            v = jnp.where(bb | ~okm, v, combine(pltpu.roll(v, s32, 0), v))
-            bb = bb | (okm & bsh)
-        vcar[0, :] = v[127, :]
-        o_ref[...] = pm._tile_perm_body(v, pae_ref[...])
+        carry = None
+        for t in range(BR // 128):
+            sl = slice(t * 128, (t + 1) * 128)
+            v = pm._tile_perm_body(v_ref[sl, :], pcr_ref[sl, :])
+            bb = b_ref[sl, :] != 0
+            if t == 0:
+                vc = jnp.where(i > 0, vcar[0, :], v[0, :])
+                gate = first & ~bb & (i > 0)
+            else:
+                vc = carry
+                gate = first & ~bb
+            v = jnp.where(gate,
+                          combine(jnp.broadcast_to(vc.reshape(1, 128),
+                                                   (128, 128)), v), v)
+            for s in [1 << j for j in range(7)]:
+                s32 = jnp.int32(s)
+                bsh = pltpu.roll(bb.astype(jnp.int32), s32, 0) != 0
+                okm = row >= s
+                v = jnp.where(bb | ~okm, v,
+                              combine(pltpu.roll(v, s32, 0), v))
+                bb = bb | (okm & bsh)
+            carry = v[127, :]
+            o_ref[sl, :] = pm._tile_perm_body(v, pae_ref[sl, :])
+        vcar[0, :] = carry
 
-    spec = lambda: pl.BlockSpec((128, 128), lambda i: (i, 0))  # noqa: E731
+    spec = lambda: pl.BlockSpec((BR, 128), lambda i: (i, 0))  # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(R // 128,),
+        grid=(R // BR,),
         in_specs=[spec(), spec(), spec(), spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((R, 128), vals.dtype),
@@ -740,10 +777,12 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
     def gather(want_packed, full_u):
         if _use_pallas():
             with jax.enable_x64(False):
+                # fold the route's stage A into the gather output write
+                # (blocks index only the first R_g rows of packed_A)
                 return gather_mult(
                     (gmeta, idx1, locidx, okg, avals), u2, u2ok, mult,
                     a_dt, u_dt, mono, kind=kind, R_g=R_g, nblocks=nblocks,
-                    packed=want_packed, full_u=full_u)
+                    packed=want_packed, full_u=full_u, permA=routeP[0])
         # XLA fallback (CPU correctness): flat gather of u at k per slot:
         # k = wb*16384 + arow*128 + idx1[blk, arow, lane]
         arow = locidx.reshape(-1).astype(jnp.int64)
@@ -775,11 +814,12 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
             return jnp.where(ok, p, ident_c), None
         return jnp.where(ok, p, ident_c), ok.astype(jnp.int32)
 
-    def perm(P, name, arrs, out_limit=None):
+    def perm(P, name, arrs, out_limit=None, skip_a=False):
         with jax.enable_x64(False):
             return pm.apply_perm(meta["permmeta"][name], P, arrs,
                                  use_pallas=_use_pallas(),
-                                 interpret=_INTERPRET, out_limit=out_limit)
+                                 interpret=_INTERPRET, out_limit=out_limit,
+                                 skip_a=skip_a)
 
     def scan(bar, v, h, cmb):
         if _use_pallas():
@@ -817,7 +857,7 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
             with jax.enable_x64(False):
                 preC, = pm.apply_perm_pre_c(
                     meta["permmeta"]["routeP"], routeP, [pv_flat],
-                    interpret=_INTERPRET)
+                    interpret=_INTERPRET, skip_a=True)
                 yAe = fused_permC_scan_permA(routeP[2], barrier, extP[0],
                                              preC, cmb)
                 e_v, = pm.apply_perm_post_a(
@@ -850,7 +890,8 @@ def spmv_pipeline(plan_dyn, meta, u_vals, u_valid, ring, a_dt, u_dt, *,
         prods, okp = gather(False, False)
         pf = pad_to_L(prods, ident_c, z_c)
         hf = pad_to_L(okp, 0, jnp.int32)
-        pv2, ph_r = perm(routeP, "routeP", [pf, hf])
+        pv2, ph_r = perm(routeP, "routeP", [pf, hf],
+                         skip_a=_use_pallas())
         ph2 = (ph_r != 0) & (oks != 0)
         pv2 = jnp.where(ph2, pv2, ident_c)
         ph2 = ph2.astype(jnp.int32)

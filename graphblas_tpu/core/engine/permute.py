@@ -311,7 +311,7 @@ def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
 
 
 def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
-               out_limit=None):
+               out_limit=None, skip_a=False):
     """Permute each (R,128) array in arrs by the planned permutation.
 
     Returns a list of (R,128) arrays with out[pi[p]] = in[p] flatwise.
@@ -320,6 +320,8 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
     cover them, and the returned arrays have ceil(out_limit/16384)*128
     rows.  Used by the lanepipe extract step, whose useful outputs (the
     destination totals) are a small prefix of the permutation domain.
+    skip_a: the caller already applied stage A (the lanepipe gather
+    kernel folds it into its output write); Pallas path only.
     """
     if use_pallas is None:
         use_pallas = _use_pallas()
@@ -328,13 +330,17 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
     T, T_pad, T128 = meta["T"], meta["T_pad"], meta["T128"]
     TV = T if out_limit is None else min(T, -(-out_limit // N_TILE))
     if not use_pallas:
+        assert not skip_a
         outs = _apply_xla(meta, dev, arrs)
         if TV < T:
             outs = [o[:TV * 128] for o in outs]
         return outs
     pa, pb, pc = dev
-    ys = _tile_perm_pallas(pa, arrs, interpret)
-    if len(arrs) == 1:
+    if skip_a:
+        ys = list(arrs)
+    else:
+        ys = _tile_perm_pallas(pa, arrs, interpret)
+    if len(arrs) == 1 and not skip_a:
         ys = [ys]
     mids = [y.reshape(T, N_TILE).T for y in ys]
     zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
@@ -348,17 +354,21 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
     return list(outs)
 
 
-def apply_perm_pre_c(meta, dev, arrs, *, interpret=None):
+def apply_perm_pre_c(meta, dev, arrs, *, interpret=None, skip_a=False):
     """Run stages A/exchange/B/exchange of the permutation, returning the
     (R,128) arrays that stage C would consume (tile t = destination tile
     t's arrival layout).  Pallas path only — used by the lanepipe's fused
-    routeC+scan+extractA kernel."""
+    routeC+scan+extractA kernel.  skip_a: stage A was already applied by
+    the caller (the gather kernel folds it into its output write)."""
     if interpret is None:
         interpret = _INTERPRET
     T, T_pad, T128 = meta["T"], meta["T_pad"], meta["T128"]
     pa, pb, pc = dev
-    ys = _tile_perm_pallas(pa, arrs, interpret)
-    if len(arrs) == 1:
+    if skip_a:
+        ys = list(arrs)
+    else:
+        ys = _tile_perm_pallas(pa, arrs, interpret)
+    if len(arrs) == 1 and not skip_a:
         ys = [ys]
     mids = [y.reshape(T, N_TILE).T for y in ys]
     zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)

@@ -102,18 +102,18 @@ def main():
     # stage: gather_mult only
     meta = entry
     L, R_g = meta["L"], meta["R_g"]
-    gmeta, locidx, okg, avals = plan_dyn[0], plan_dyn[1], plan_dyn[2], plan_dyn[3]
-    barrier, oks = plan_dyn[4], plan_dyn[5]
-    routeP, extP = plan_dyn[6], plan_dyn[7]
+    (gmeta, idx1, locidx, okg, avals, barrier, oks, routeP, extP,
+     out_ok) = plan_dyn[:10]
     mult, mono = ring.binaryop, ring.monoid
     Ru = lp._ceil_to(max(n, 1), lp.WINDOW_K) // 128
 
     def gm(s):
         u2 = s.reshape(Ru, 128)
         u2ok = jnp.ones((Ru, 128), jnp.int32)
-        prods, okp = lp.gather_mult((gmeta, locidx, okg, avals), u2, u2ok,
-                                    mult, dt, dt, mono, kind="vxm", R_g=R_g,
-                                    nblocks=meta["nblocks_g"])
+        prods, okp = lp.gather_mult((gmeta, idx1, locidx, okg, avals), u2,
+                                    u2ok, mult, dt, dt, mono, kind="vxm",
+                                    R_g=R_g, nblocks=meta["nblocks_g"],
+                                    packed=False, full_u=True)
         return prods.reshape(-1)[:n]
 
     pad = Ru * 128 - n
@@ -139,6 +139,33 @@ def main():
         return v.reshape(-1)
 
     bench_loop("route perm 1ch", route1, pf)
+
+    # the production fast-path decomposition
+    comb_f = sp.monoid_scan_fn("plus", np.float32)
+
+    def route_pre_c(s):
+        y, = pm.apply_perm_pre_c(meta["permmeta"]["routeP"], routeP,
+                                 [s.reshape(-1, 128)], interpret=False)
+        return y.reshape(-1)
+
+    bench_loop("route pre_c (A+x+B+x)", route_pre_c, pf)
+
+    def fusedk(s):
+        y = lp.fused_permC_scan_permA(routeP[2], barrier, extP[0],
+                                      s.reshape(-1, 128), comb_f)
+        return y.reshape(-1)
+
+    bench_loop("fused routeC+scan+extA", fusedk, pf)
+
+    lim1 = meta.get("L2req") if meta["two_level"] else meta["n_out"]
+
+    def ext_post_a(s):
+        y, = pm.apply_perm_post_a(meta["permmeta"]["extP"], extP,
+                                  [s.reshape(-1, 128)], interpret=False,
+                                  out_limit=lim1)
+        return y.reshape(-1)
+
+    bench_loop("ext post_a (x+B+x+C, lim)", ext_post_a, pf)
 
     # route sub-stages (1ch)
     pmeta = meta["permmeta"]["routeP"]
