@@ -344,6 +344,30 @@ def test_dist_ewise_blocked_same_structure(rng):
     assert abs(got - want.reduce_scalar(gb.monoid.plus).new().value) < 1e-3
 
 
+def test_dist_select_keeps_distribution(rng):
+    """B = A.select(op) on a sharded A stays sharded: the predicate is
+    evaluated per block (global row ids for positional ops, no
+    communication) and gates the blocked edge validity."""
+    import graphblas_tpu as gb
+
+    A, A2, mesh, _ = _r4_sharded(rng)
+    # value-family predicate
+    B = A.select(gb.select.valuegt, 0.5).new()
+    assert getattr(B, "_dist", None) is not None
+    want = A2.select(gb.select.valuegt, 0.5).new()
+    assert B.isclose(want, rel_tol=1e-6)
+    # block-local vs global row ids: triu crosses block boundaries
+    C = A.select(gb.select.triu).new()
+    assert getattr(C, "_dist", None) is not None
+    wantC = A2.select(gb.select.triu).new()
+    assert C.isclose(wantC, rel_tol=1e-6)
+    # the attached distribution is live: per-device shard shape and a
+    # distributed reduce off the blocked values
+    assert C._dist.rowids.shape[0] == 8
+    got = C.reduce_scalar(gb.monoid.plus).new().value
+    assert abs(got - wantC.reduce_scalar(gb.monoid.plus).new().value) < 1e-3
+
+
 def test_dist_apply_keeps_distribution(rng):
     """B = A.apply(op) on a sharded A is itself sharded (structure-
     preserving transform over the blocked values, parallel-free)."""
