@@ -252,18 +252,24 @@ def _tile_perm_pallas(p, nch_arrs, interpret):
     )(p, *arrs)
 
 
-def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
+def _mid_perm_pallas(p, arrs, T128, T_pad, interpret, out_T=None):
     """Apply within-row perms.
 
     Input arrays are (16384, T) with T <= T_pad: the pad columns (the
     plan's identity dummies) are materialized in VMEM inside the kernel,
     and dropped again on output — real elements never reference pad
     positions (their ports are all < T), so no HBM pad/slice copies are
-    needed around this stage."""
+    needed around this stage.
+
+    out_T: only destination ports < out_T are needed (the lanepipe
+    extract's out_limit trimming) — output port groups beyond it are
+    neither computed nor written, and the returned arrays are
+    (16384, out_T)."""
     from jax.experimental import pallas as pl
 
     nch = len(arrs)
     T = arrs[0].shape[1]
+    TW = T if out_T is None else min(T, out_T)
 
     def kernel(*refs):
         p_ref = refs[0]
@@ -281,6 +287,9 @@ def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
                 subs.append(jnp.take_along_axis(y[:, sl], idx & 127,
                                                 axis=1))
             for A2 in range(T128):
+                lo = A2 * 128
+                if lo >= TW:
+                    continue  # pad-only or trimmed column group
                 sl = slice(A2 * 128, (A2 + 1) * 128)
                 idx = p_ref[:, sl]
                 sel = (idx >> 14) & 127
@@ -288,24 +297,22 @@ def _mid_perm_pallas(p, arrs, T128, T_pad, interpret):
                 for a in range(1, T128):
                     acc = jnp.where(sel == a, subs[a], acc)
                 z = jnp.take_along_axis(acc, (idx >> 7) & 127, axis=1)
-                lo = A2 * 128
-                if lo >= T:
-                    continue  # pad-only column group: all dummies
-                if lo + 128 <= T:
+                if lo + 128 <= TW:
                     out_refs[a_i][:, lo:lo + 128] = z
                 else:
-                    out_refs[a_i][:, lo:T] = z[:, :T - lo]
+                    out_refs[a_i][:, lo:TW] = z[:, :TW - lo]
 
     pspec = pl.BlockSpec((128, T_pad), lambda i: (i, 0))
     dspec = pl.BlockSpec((128, T), lambda i: (i, 0))
+    ospec = pl.BlockSpec((128, TW), lambda i: (i, 0))
     return pl.pallas_call(
         kernel,
         grid=(N_TILE // 128,),
         in_specs=[pspec] + [dspec] * nch,
-        out_specs=tuple([dspec] * nch) if nch > 1 else dspec,
-        out_shape=tuple(jax.ShapeDtypeStruct((N_TILE, T), a.dtype)
+        out_specs=tuple([ospec] * nch) if nch > 1 else ospec,
+        out_shape=tuple(jax.ShapeDtypeStruct((N_TILE, TW), a.dtype)
                         for a in arrs) if nch > 1
-        else jax.ShapeDtypeStruct((N_TILE, T), arrs[0].dtype),
+        else jax.ShapeDtypeStruct((N_TILE, TW), arrs[0].dtype),
         interpret=interpret,
     )(p, *arrs)
 
@@ -343,10 +350,11 @@ def apply_perm(meta, dev, arrs, *, use_pallas=None, interpret=None,
     if len(arrs) == 1 and not skip_a:
         ys = [ys]
     mids = [y.reshape(T, N_TILE).T for y in ys]
-    zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
+    zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret,
+                          out_T=None if TV == T else TV)
     if len(arrs) == 1:
         zs = [zs]
-    fin = [(z[:, :TV] if TV < T else z).T.reshape(-1, 128) for z in zs]
+    fin = [z.T.reshape(-1, 128) for z in zs]
     pcv = pc[:TV * 128] if TV < T else pc
     outs = _tile_perm_pallas(pcv, fin, interpret)
     if len(arrs) == 1:
@@ -387,10 +395,11 @@ def apply_perm_post_a(meta, dev, arrs, *, interpret=None, out_limit=None):
     TV = T if out_limit is None else min(T, -(-out_limit // N_TILE))
     pa, pb, pc = dev
     mids = [y.reshape(T, N_TILE).T for y in arrs]
-    zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret)
+    zs = _mid_perm_pallas(pb, mids, T128, T_pad, interpret,
+                          out_T=None if TV == T else TV)
     if len(arrs) == 1:
         zs = [zs]
-    fin = [(z[:, :TV] if TV < T else z).T.reshape(-1, 128) for z in zs]
+    fin = [z.T.reshape(-1, 128) for z in zs]
     pcv = pc[:TV * 128] if TV < T else pc
     outs = _tile_perm_pallas(pcv, fin, interpret)
     if len(arrs) == 1:
